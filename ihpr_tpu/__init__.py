@@ -1,0 +1,28 @@
+"""ihpr_tpu — TPU-native Integral Human Pose Regression framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+``Phonicavi/Integral-Human-Pose-Regression-for-3D-Human-Pose-Estimation``
+(Sun et al., *Integral Human Pose Regression*, ECCV 2018):
+
+- ResNet backbone (18/34/50/101/152) + 3-layer deconv head emitting per-joint
+  ``D x H x W`` heatmap volumes (reference: ``main/model.py``,
+  ``common/nets/resnet.py``).
+- Soft-argmax integral (volumetric softmax + x/y/z expectation) as a single
+  fused Pallas TPU kernel with a custom VJP (reference:
+  ``common/nets/loss.py:soft_argmax`` — there, three separate reductions).
+- jit-compiled on-device crop/warp/augment input pipeline (reference:
+  ``data/dataset.py`` — there, cv2 on CPU worker processes).
+- SPMD data-parallel training over a ``jax.sharding.Mesh`` (reference:
+  ``nn.DataParallel`` single-process GPU scatter/gather).
+
+Package layout:
+    config    — frozen dataclass configs (reference: main/config.py singleton)
+    ops       — integral soft-argmax (JAX + Pallas), losses
+    models    — Flax ResNet backbone, deconv head, PoseNet assembly
+    data      — geometry, on-device warp/augment, datasets, input pipeline
+    parallel  — mesh construction, sharded train/eval steps
+    engine    — Trainer/Tester, checkpointing, logging, timers
+    utils     — visualization, misc
+"""
+
+__version__ = "0.1.0"

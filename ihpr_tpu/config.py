@@ -1,0 +1,167 @@
+"""Immutable experiment configuration.
+
+Replaces the reference's module-level mutable singleton (``main/config.py:~10-60``
+defines ``class Config``; ``cfg = Config()`` is imported and mutated everywhere)
+with frozen dataclasses passed explicitly. Field values mirror the reference
+defaults: ``trainset=['Human36M','MPII']``, ``input_shape=(256,256)``,
+``output_shape=input/4``, ``depth_dim=64``, ``bbox_3d_shape=(2000,2000,2000)`` mm,
+ImageNet pixel mean/std, Adam ``lr=1e-3`` with step decay ``x0.1`` at epochs
+``[17, 21]``, ``end_epoch=25``, per-device ``batch_size=32``, ``flip_test=True``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+# ImageNet normalization used by the reference's torchvision transform
+# (data/dataset.py: ToTensor + Normalize(mean, std)).
+IMAGENET_MEAN: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+IMAGENET_STD: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Backbone + head. Reference: main/model.py, common/nets/resnet.py."""
+
+    resnet_type: int = 50  # one of 18, 34, 50, 101, 152
+    # Number of deconv (upsampling) stages in the head; each is
+    # ConvTranspose(256, k4, s2) + BN + ReLU. Reference uses 3 (x8 upsample
+    # from the stride-32 backbone output -> stride-4 heatmaps).
+    num_deconv_layers: int = 3
+    deconv_channels: int = 256
+    head_final_init_std: float = 0.001  # reference: normal(std=0.001) head init
+    # Compute dtype for conv/matmul. Params stay fp32; bf16 feeds the MXU.
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    bn_momentum: float = 0.9
+    bn_epsilon: float = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Input pipeline + augmentation. Reference: data/dataset.py."""
+
+    trainset: Tuple[str, ...] = ("Human36M", "MPII")
+    testset: str = "Human36M"
+    # (height, width) of the network input patch.
+    input_shape: Tuple[int, int] = (256, 256)
+    # (height, width) of the heatmap; reference: input / 4.
+    output_shape: Tuple[int, int] = (64, 64)
+    depth_dim: int = 64
+    # Metric volume (z, y, x) in mm mapped onto the voxel grid.
+    bbox_3d_shape: Tuple[int, int, int] = (2000, 2000, 2000)
+    pixel_mean: Tuple[float, float, float] = IMAGENET_MEAN
+    pixel_std: Tuple[float, float, float] = IMAGENET_STD
+    # Augmentation ranges (reference data/dataset.py:get_aug_config):
+    # scale ~ 1 + 0.25*clip(randn,-1,1); rot ~ 60*clip(randn,-2,2) applied
+    # with prob 0.6; color scale in [0.8, 1.2] per channel; flip p=0.5.
+    scale_factor: float = 0.25
+    rot_factor: float = 30.0
+    rot_prob: float = 0.6
+    color_factor: float = 0.2
+    flip_prob: float = 0.5
+    # bbox margin (reference common/utils/pose_utils.py:process_bbox).
+    bbox_margin: float = 1.25
+    use_aug: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer + schedule. Reference: common/base.py (Adam + step decay)."""
+
+    lr: float = 1e-3
+    lr_dec_epoch: Tuple[int, ...] = (17, 21)
+    lr_dec_factor: float = 10.0
+    end_epoch: int = 25
+    # Per-device batch size (reference: batch_size=32 per GPU).
+    batch_size_per_device: int = 32
+    weight_decay: float = 0.0
+    grad_clip_norm: Optional[float] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """SPMD layout. Replaces nn.DataParallel (common/base.py)."""
+
+    # Number of devices along the data axis; None = all visible devices.
+    data_axis_size: Optional[int] = None
+    data_axis_name: str = "data"
+    # Donate input buffers to the train step (in-place param update).
+    donate: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Reference: main/test.py + data/Human36M/Human36M.py:evaluate."""
+
+    flip_test: bool = True
+    protocol: int = 2  # H36M protocol: 1 = PA-MPJPE (S11), 2 = MPJPE (S9, S11)
+    batch_size_per_device: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    name: str = "h36m3d_r50"
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    seed: int = 0
+    output_dir: str = "output"
+
+    @property
+    def joint_num(self) -> int:
+        """Joints of the primary (first) train set; reference unifies all
+        datasets onto the first trainset's joint order (common/base.py:
+        transform_joint_to_other_db)."""
+        from ihpr_tpu.data import skeletons
+
+        return skeletons.get_skeleton(self.data.trainset[0]).joint_num
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _cfg(**kw) -> Config:
+    return Config(**kw)
+
+
+# The five named configs pinned by BASELINE.json "configs".
+CONFIGS = {
+    # 1. ResNet-50 + 64^3 soft-argmax, single-image CPU forward (parity).
+    "parity_r50": _cfg(
+        name="parity_r50",
+        data=DataConfig(trainset=("Human36M",), use_aug=False),
+        optim=OptimConfig(batch_size_per_device=1),
+    ),
+    # 2. MPII 2D pose: ResNet-50 + 64x64 integral (depth_dim=1), single chip.
+    "mpii2d_r50": _cfg(
+        name="mpii2d_r50",
+        data=DataConfig(trainset=("MPII",), testset="MPII", depth_dim=1),
+    ),
+    # 3. Human3.6M 3D: ResNet-50 + 64^3 volumetric integral, full train/eval.
+    "h36m3d_r50": _cfg(name="h36m3d_r50"),
+    # 4. ResNet-152 @ 288x384 input, mixed H36M+MPII batches, bf16 matmuls.
+    "h36m3d_r152_384": _cfg(
+        name="h36m3d_r152_384",
+        model=ModelConfig(resnet_type=152, compute_dtype="bfloat16"),
+        data=DataConfig(
+            input_shape=(384, 288),
+            output_shape=(96, 72),
+            depth_dim=64,
+        ),
+    ),
+    # 5. Multi-chip data-parallel training + batched inference server path.
+    "h36m3d_r50_dp": _cfg(
+        name="h36m3d_r50_dp",
+        model=ModelConfig(compute_dtype="bfloat16"),
+        parallel=ParallelConfig(data_axis_size=None),
+    ),
+}
+
+
+def get_config(name: str) -> Config:
+    if name not in CONFIGS:
+        raise KeyError(f"unknown config {name!r}; available: {sorted(CONFIGS)}")
+    return CONFIGS[name]

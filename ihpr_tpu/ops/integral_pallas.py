@@ -1,0 +1,344 @@
+"""Fused Pallas TPU kernel for the integral soft-argmax.
+
+The reference computes this as a chain (``common/nets/loss.py:soft_argmax``):
+softmax over the flattened 64^3 volume, reshape, three marginal sums, three
+inner products — materializing the (B, J, 262144) probability tensor in HBM
+(~18 MB per sample at J=18, fp32) and reading it three more times.
+
+Here the whole thing is ONE kernel: each grid program streams one sample's
+full (H*W, J*D) plane HBM->VMEM in row chunks (fully contiguous DMA) and
+maintains ONLINE softmax statistics — running max m, normalizer s, and the
+three weighted moments, the same rescaling trick that underlies
+blockwise/flash attention — so the normalized probabilities never exist in
+HBM and VMEM holds only one chunk. HBM traffic drops from ~5 volume passes
+to exactly 1 read (fwd) and 1 read + 1 write (bwd).
+
+Performance notes (v5e-tuned):
+- Layout: the head's final 1x1 conv emits NHWC (B, H, W, J*D); a free
+  reshape gives (B, H*W, J*D). No transpose of the volume ever touches HBM.
+- Per-joint bookkeeping is kept OFF the VPU hot path: per-chunk segment
+  sums over the J*D lane axis are one tiny MXU matmul against a constant
+  0/1 segment matrix (J*D, 128); scalar loops over joints would dominate
+  runtime with tiny-op overhead.
+- Softmax stabilization uses a SHARED max over all joints of a sample
+  (scalar). The stabilizer cancels exactly in each joint's moment ratio,
+  so coordinates are mathematically identical to per-joint stabilization;
+  the only caveat is fp32 underflow if one joint's logits sit ~80+ below
+  another joint's max, which does not occur for trained heads (and the
+  plain-JAX path in ``integral.py`` remains the fallback oracle).
+- Coordinates are recovered from indices: for lane l and global row
+  r = c*C + r_local, z = l mod D, x = r mod W, y = r div W; x/y enter as
+  (chunk, 1) columns and z as a (1, J*D) row, so every broadcast is along
+  a single dimension (Mosaic supports those; two-axis splats it does not).
+
+Backward (via ``jax.custom_vjp``): for coords c_k = sum_i p_i * g^k_i,
+    dL/dv_i = p_i * sum_k gbar_k * (g^k_i - c_k)
+— one elementwise pass, recomputing p from the saved (m, s). All per-joint
+constants are folded OUTSIDE the kernel into five (B, J*D) lane-rows
+(m, 1/s, gx, gy, and a bias collecting the z/center terms).
+
+fp32 math throughout regardless of input dtype (bf16 inputs are upcast
+in-register after the HBM read, halving read bandwidth in bf16 mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = float("-inf")
+# Joint-padding fill: far below any real logit so padded lanes never win the
+# shared max, yet finite so no inf arithmetic leaks into real lanes.
+_PAD_VALUE = -1e30
+
+
+def _interpret() -> bool:
+    # Tests run on CPU (forced host devices); interpret mode keeps the same
+    # code path numerically live there.
+    return jax.default_backend() != "tpu"
+
+
+# Per-chunk VMEM budget; the streaming state makes this independent of H*W.
+_MAX_CHUNK_BYTES = 2 * 1024 * 1024
+# Segment matmul emits (4, _SEG_LANES); joints beyond this fall back.
+_SEG_LANES = 128
+
+
+def _supported(joint_num: int, depth_dim: int) -> bool:
+    """The kernel handles lane extents that are 128-aligned (Mosaic's lane
+    rule) with at most _SEG_LANES joints."""
+    return (joint_num * depth_dim) % 128 == 0 and joint_num <= _SEG_LANES
+
+
+def _padded_joint_num(joint_num: int, depth_dim: int) -> int | None:
+    """Smallest J' >= J for which the kernel applies (zero-pad joints)."""
+    if 128 % depth_dim != 0:
+        return None
+    g = max(1, 128 // depth_dim)
+    j2 = -(-joint_num // g) * g
+    return j2 if _supported(j2, depth_dim) else None
+
+
+def _chunk_rows(hw: int, lanes: int) -> int:
+    """Largest divisor of hw that is a multiple of 8 (fp32 sublane tile) and
+    fits the VMEM chunk budget; falls back to hw itself for small planes."""
+    cap = max(8, _MAX_CHUNK_BYTES // (lanes * 4))
+    if hw <= cap:
+        return hw
+    best = 8
+    for c in range(cap, 7, -1):
+        if hw % c == 0 and c % 8 == 0:
+            best = c
+            break
+    return best
+
+
+@functools.lru_cache(maxsize=None)
+def _segment_matrix(joint_num: int, depth_dim: int) -> np.ndarray:
+    """(J*D, _SEG_LANES) 0/1 matrix summing each joint's D lanes via MXU."""
+    s = np.zeros((joint_num * depth_dim, _SEG_LANES), np.float32)
+    for j in range(joint_num):
+        s[j * depth_dim : (j + 1) * depth_dim, j] = 1.0
+    return s
+
+
+def _row_coords(ci, chunk, w):
+    """(chunk, 1) x/y coordinate columns for chunk ci (they depend only on
+    the row index of the HW plane)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + ci * chunk
+    return (row % w).astype(jnp.float32), (row // w).astype(jnp.float32)
+
+
+def _fwd_kernel(v_ref, seg_ref, vout_ref, m_ref, macc_ref, acc_ref, *, d, w, chunk):
+    """Grid (B, HW/chunk); streams chunks of one sample's (HW, J*D) plane.
+
+    Full-block VPU work per chunk: 1 max-reduce, 1 exp, 2 muls, 3 axis-0
+    sums. Everything per-joint rides a (4, J*D) @ (J*D, 128) MXU matmul.
+    Scratch: acc (8, 128) VMEM rows [s, sx, sy, sz]; macc SMEM running max.
+    """
+    ci = pl.program_id(1)
+    nc = pl.num_programs(1)
+    v = v_ref[0].astype(jnp.float32)  # (chunk, J*D)
+    jd = v.shape[1]
+    x_col, y_col = _row_coords(ci, chunk, w)
+
+    m_c = jnp.max(v)  # shared stabilizer (see module docstring)
+    m_old = jnp.where(ci == 0, _NEG_INF, macc_ref[0])
+    m_new = jnp.maximum(m_old, m_c)
+    scale = jnp.exp(m_old - m_new)  # exp(-inf) = 0 on the first chunk
+    macc_ref[0] = m_new
+
+    e = jnp.exp(v - m_new)  # (chunk, J*D)
+    colsum_e = jnp.sum(e, axis=0, keepdims=True)  # (1, J*D)
+    colsum_ex = jnp.sum(e * x_col, axis=0, keepdims=True)
+    colsum_ey = jnp.sum(e * y_col, axis=0, keepdims=True)
+    z_row = (jax.lax.broadcasted_iota(jnp.int32, (1, jd), 1) % d).astype(jnp.float32)
+    colsum_ez = colsum_e * z_row  # z depends only on the lane
+
+    stacked = jnp.concatenate(
+        [colsum_e, colsum_ex, colsum_ey, colsum_ez], axis=0
+    )  # (4, J*D)
+    # HIGHEST precision: the v5e MXU natively multiplies bf16 — without it
+    # this 0/1 matmul quantizes the sums to ~1e-2 relative error.
+    sums = jnp.dot(
+        stacked,
+        seg_ref[...],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    acc_old = acc_ref[0:4]  # garbage on ci==0, discarded by the where
+    acc_new = jnp.where(ci == 0, sums, acc_old * scale + sums)
+    acc_ref[0:4] = acc_new
+
+    @pl.when(ci == nc - 1)
+    def _():
+        s = acc_new[0:1]  # (1, 128); 0 for lanes past J and padded joints
+        inv_s = jnp.where(s > 0, 1.0 / s, 0.0)
+        vout_ref[0, 0:1] = s
+        vout_ref[0, 1:4] = acc_new[1:4] * inv_s  # coords x, y, z
+        m_ref[0, 0, 0] = m_new
+
+
+def _bwd_kernel(v_ref, rows_ref, dv_ref, *, w, chunk):
+    """dv = exp(v - m) * inv_s * (gx*x + gy*y + bias); all per-joint values
+    pre-folded into (1, J*D) lane-rows outside the kernel. ~6 VPU passes."""
+    ci = pl.program_id(1)
+    v = v_ref[0].astype(jnp.float32)
+    rows = rows_ref[0]  # (5, J*D): m, inv_s, gx, gy, bias
+    x_col, y_col = _row_coords(ci, chunk, w)
+    p = jnp.exp(v - rows[0:1]) * rows[1:2]
+    term = rows[2:3] * x_col + rows[3:4] * y_col + rows[4:5]
+    dv_ref[0] = (p * term).astype(dv_ref.dtype)
+
+
+def _vol_spec(chunk: int, lanes: int) -> pl.BlockSpec:
+    return pl.BlockSpec(
+        (1, chunk, lanes), lambda bi, ci: (bi, ci, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _fwd_call(vol: jax.Array, joint_num: int, depth_dim: int, h: int, w: int):
+    """vol: (B, H*W, J*D) -> coords (B, J, 3), m (B,), s (B, J)."""
+    b, hw, jd = vol.shape
+    assert hw == h * w and jd == joint_num * depth_dim, (vol.shape, joint_num, depth_dim, h, w)
+    assert _supported(joint_num, depth_dim), (joint_num, depth_dim)
+    chunk = _chunk_rows(hw, jd)
+    seg = jnp.asarray(_segment_matrix(joint_num, depth_dim))
+    kernel = functools.partial(_fwd_kernel, d=depth_dim, w=w, chunk=chunk)
+    vout, m = pl.pallas_call(
+        kernel,
+        grid=(b, hw // chunk),
+        in_specs=[
+            _vol_spec(chunk, jd),
+            pl.BlockSpec(
+                (jd, _SEG_LANES), lambda bi, ci: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 4, _SEG_LANES), lambda bi, ci: (bi, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 1, 1), lambda bi, ci: (bi, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 4, _SEG_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.VMEM((8, _SEG_LANES), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * hw * jd,
+            bytes_accessed=b * hw * jd * vol.dtype.itemsize,
+            transcendentals=b * hw * jd,
+        ),
+        interpret=_interpret(),
+    )(vol, seg)
+    s = vout[:, 0, :joint_num]  # (B, J)
+    coords = vout[:, 1:4, :joint_num].transpose(0, 2, 1)  # (B, J, 3)
+    return coords, m.reshape(b), s
+
+
+def _bwd_call(
+    vol: jax.Array,
+    m: jax.Array,
+    s: jax.Array,
+    coords: jax.Array,
+    g: jax.Array,
+    joint_num: int,
+    depth_dim: int,
+    h: int,
+    w: int,
+) -> jax.Array:
+    b, hw, jd = vol.shape
+    chunk = _chunk_rows(hw, jd)
+
+    # Fold all per-joint constants into five (B, J*D) lane-rows (XLA ops on
+    # tiny tensors): m, 1/s, gx, gy, and bias = gz*(z - cz) - gx*cx - gy*cy.
+    g = g.astype(jnp.float32)
+    rep = lambda a: jnp.repeat(a, depth_dim, axis=-1)  # (B, J) -> (B, J*D)
+    inv_s = jnp.where(s > 0, 1.0 / s, 0.0)
+    z_pat = jnp.tile(jnp.arange(depth_dim, dtype=jnp.float32), joint_num)  # (J*D,)
+    gx, gy, gz = rep(g[..., 0]), rep(g[..., 1]), rep(g[..., 2])
+    cx, cy, cz = rep(coords[..., 0]), rep(coords[..., 1]), rep(coords[..., 2])
+    bias = gz * (z_pat[None, :] - cz) - gx * cx - gy * cy
+    m_row = jnp.broadcast_to(m[:, None], (b, jd))
+    rows = jnp.stack([m_row, rep(inv_s), gx, gy, bias], axis=1)  # (B, 5, J*D)
+
+    kernel = functools.partial(_bwd_kernel, w=w, chunk=chunk)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, hw // chunk),
+        in_specs=[
+            _vol_spec(chunk, jd),
+            pl.BlockSpec((1, 5, jd), lambda bi, ci: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=_vol_spec(chunk, jd),
+        out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * hw * jd,
+            bytes_accessed=2 * b * hw * jd * vol.dtype.itemsize,
+            transcendentals=b * hw * jd,
+        ),
+        interpret=_interpret(),
+    )(vol, rows)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _soft_argmax_fused(vol, joint_num, depth_dim, h, w):
+    coords, _, _ = _fwd_call(vol, joint_num, depth_dim, h, w)
+    return coords
+
+
+def _soft_argmax_fused_fwd(vol, joint_num, depth_dim, h, w):
+    coords, m, s = _fwd_call(vol, joint_num, depth_dim, h, w)
+    return coords, (vol, m, s, coords)
+
+
+def _soft_argmax_fused_bwd(joint_num, depth_dim, h, w, res, g):
+    vol, m, s, coords = res
+    dv = _bwd_call(vol, m, s, coords, g, joint_num, depth_dim, h, w)
+    return (dv,)
+
+
+_soft_argmax_fused.defvjp(_soft_argmax_fused_fwd, _soft_argmax_fused_bwd)
+
+
+def _dispatch(vol: jax.Array, joint_num: int, depth_dim: int, h: int, w: int) -> jax.Array:
+    """Route (B, HW, J*D) through the kernel, padding the joint axis to a
+    legal lane tiling when needed; falls back to the plain-JAX composition
+    for shapes with no reasonable tiling (e.g. the tiny 2D D=1 case, which
+    is not bandwidth-bound anyway). Padding/slicing sits OUTSIDE the
+    custom_vjp, so autodiff through it is handled by JAX; padded joints
+    receive zero cotangent and contribute nothing to the backward kernel."""
+    hw = h * w
+    if _supported(joint_num, depth_dim):
+        return _soft_argmax_fused(vol, joint_num, depth_dim, h, w)
+    j2 = _padded_joint_num(joint_num, depth_dim)
+    # Padding beyond 2x the real joints wastes more than the fusion saves.
+    if j2 is not None and j2 <= 2 * joint_num:
+        padded = jnp.pad(
+            vol,
+            ((0, 0), (0, 0), (0, (j2 - joint_num) * depth_dim)),
+            constant_values=_PAD_VALUE,
+        )
+        coords = _soft_argmax_fused(padded, j2, depth_dim, h, w)
+        return coords[:, :joint_num]
+    from ihpr_tpu.ops import integral  # fallback: plain-JAX composition
+
+    b = vol.shape[0]
+    logits = vol.reshape(b, hw, joint_num, depth_dim).transpose(0, 2, 3, 1)
+    return integral.soft_argmax_3d(logits.reshape(b, joint_num, depth_dim, h, w))
+
+
+def soft_argmax_from_heatmap(
+    heatmap: jax.Array, joint_num: int, depth_dim: int
+) -> jax.Array:
+    """Production path: (B, H, W, J*D) NHWC head output -> (B, J, 3) coords.
+
+    Only a free reshape separates the conv output from the kernel — the
+    volume is never transposed in HBM.
+    """
+    b, h, w, c = heatmap.shape
+    assert c == joint_num * depth_dim, (heatmap.shape, joint_num, depth_dim)
+    vol = heatmap.reshape(b, h * w, c)
+    return _dispatch(vol, joint_num, depth_dim, h, w)
+
+
+def soft_argmax_3d_fused(logits: jax.Array) -> jax.Array:
+    """Drop-in fused equivalent of ``integral.soft_argmax_3d``.
+
+    (B, J, D, H, W) -> (B, J, 3). Incurs one transpose into the kernel's
+    native (B, HW, JD) layout; prefer ``soft_argmax_from_heatmap`` in the
+    model's forward pass, which needs no transpose.
+    """
+    b, j, d, h, w = logits.shape
+    vol = logits.transpose(0, 3, 4, 1, 2).reshape(b, h * w, j * d)
+    return _dispatch(vol, j, d, h, w)
