@@ -1,0 +1,72 @@
+"""PoseNet: backbone + deconv head + integral soft-argmax.
+
+Reference: ``main/model.py:ResPoseNet:~60-110`` (forward = backbone -> head;
+soft_argmax applied inside the loss at train time and in test.py at eval).
+Here the integral is part of the model's ``coords`` path — one jitted
+function emits (B, J, 3) directly through the fused Pallas kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ihpr_tpu.config import Config
+from ihpr_tpu.models.head import DeconvHead
+from ihpr_tpu.models.resnet import ResNetBackbone
+from ihpr_tpu.ops.integral_pallas import soft_argmax_from_heatmap
+
+
+class PoseNet(nn.Module):
+    resnet_type: int = 50
+    joint_num: int = 18
+    depth_dim: int = 64
+    num_deconv_layers: int = 3
+    deconv_features: int = 256
+    head_init_std: float = 0.001
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """(B, H, W, 3) normalized image -> (B, H/4, W/4, J*D) heatmap logits."""
+        feat = ResNetBackbone(
+            self.resnet_type, self.compute_dtype, name="backbone"
+        )(x, train)
+        return DeconvHead(
+            self.joint_num * self.depth_dim,
+            self.num_deconv_layers,
+            self.deconv_features,
+            self.head_init_std,
+            self.compute_dtype,
+            name="head",
+        )(feat, train)
+
+    def coords(self, x, train: bool = False):
+        """(B, H, W, 3) image -> (B, J, 3) voxel coordinates (x, y, z)."""
+        heatmap = self(x, train)
+        return soft_argmax_from_heatmap(heatmap, self.joint_num, self.depth_dim)
+
+
+def build_pose_net(cfg: Config, joint_num: int | None = None) -> PoseNet:
+    """Reference: ``main/model.py:get_pose_net``."""
+    if joint_num is None:
+        joint_num = cfg.joint_num
+    return PoseNet(
+        resnet_type=cfg.model.resnet_type,
+        joint_num=joint_num,
+        depth_dim=cfg.data.depth_dim,
+        num_deconv_layers=cfg.model.num_deconv_layers,
+        deconv_features=cfg.model.deconv_channels,
+        head_init_std=cfg.model.head_final_init_std,
+        compute_dtype=jnp.dtype(cfg.model.compute_dtype),
+    )
+
+
+def init_pose_net(model: PoseNet, rng: jax.Array, input_shape=(256, 256)):
+    """Initialize {params, batch_stats} with a dummy batch."""
+    dummy = jnp.zeros((1, input_shape[0], input_shape[1], 3), jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    return variables["params"], variables["batch_stats"]

@@ -1,0 +1,154 @@
+"""Convert torch state_dicts (torchvision ResNet / reference PoseNet
+snapshots) into Flax param/batch_stats pytrees.
+
+Replaces the reference's online model-zoo init (``common/nets/resnet.py:
+init_weights`` -> ``model_zoo.load_url``): this environment has no network,
+so pretrained weights arrive as .pth files and are converted offline.
+
+Weight layout mapping (validated numerically in tests/test_convert.py):
+- Conv2d      (out, in, kh, kw) -> (kh, kw, in, out)
+- ConvTranspose2d (in, out, kh, kw) -> (kh, kw, in, out) with the spatial
+  taps flipped (torch's transposed conv correlates; lax.conv_transpose
+  convolves).
+- BatchNorm   weight->scale, bias->bias; running stats -> batch_stats.
+
+Usage:
+    python tools/convert_torch_ckpt.py resnet50.pth out.msgpack --kind backbone
+    python tools/convert_torch_ckpt.py snapshot_24.pth.tar out.msgpack --kind posenet
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    import torch
+
+    if isinstance(t, torch.Tensor):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _conv_w(w) -> np.ndarray:
+    return _np(w).transpose(2, 3, 1, 0)  # OIHW -> HWIO
+
+
+def _deconv_w(w) -> np.ndarray:
+    # torch ConvTranspose2d weight is (in, out, kh, kw); flax wants
+    # (kh, kw, in, out) with spatially flipped taps.
+    return _np(w).transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+
+
+def _bn(sd: Mapping, prefix: str) -> Tuple[Dict, Dict]:
+    params = {"scale": _np(sd[prefix + ".weight"]), "bias": _np(sd[prefix + ".bias"])}
+    stats = {
+        "mean": _np(sd[prefix + ".running_mean"]),
+        "var": _np(sd[prefix + ".running_var"]),
+    }
+    return params, stats
+
+
+def convert_backbone(
+    sd: Mapping, resnet_type: int, prefix: str = ""
+) -> Tuple[Dict, Dict]:
+    """torchvision-style ResNet state_dict -> (params, batch_stats) for
+    ihpr_tpu.models.ResNetBackbone. ``prefix`` strips e.g. 'backbone.'."""
+    from ihpr_tpu.models.resnet import RESNET_SPECS
+
+    kind, depths, _ = RESNET_SPECS[resnet_type]
+    p: Dict = {}
+    s: Dict = {}
+
+    def bn_into(dst_name: str, src_prefix: str):
+        bp, bs = _bn(sd, src_prefix)
+        p[dst_name] = {"BatchNorm_0": bp}
+        s[dst_name] = {"BatchNorm_0": bs}
+
+    p["conv1"] = {"kernel": _conv_w(sd[prefix + "conv1.weight"])}
+    bn_into("bn1", prefix + "bn1")
+
+    n_convs = 2 if kind == "basic" else 3
+    for stage, depth in enumerate(depths):
+        for i in range(depth):
+            src = f"{prefix}layer{stage + 1}.{i}"
+            dst = f"layer{stage + 1}_{i}"
+            blk_p: Dict = {}
+            blk_s: Dict = {}
+            for c in range(1, n_convs + 1):
+                blk_p[f"conv{c}"] = {"kernel": _conv_w(sd[f"{src}.conv{c}.weight"])}
+                bp, bs = _bn(sd, f"{src}.bn{c}")
+                blk_p[f"bn{c}"] = {"BatchNorm_0": bp}
+                blk_s[f"bn{c}"] = {"BatchNorm_0": bs}
+            if f"{src}.downsample.0.weight" in sd:
+                blk_p["down_conv"] = {
+                    "kernel": _conv_w(sd[f"{src}.downsample.0.weight"])
+                }
+                bp, bs = _bn(sd, f"{src}.downsample.1")
+                blk_p["down_bn"] = {"BatchNorm_0": bp}
+                blk_s["down_bn"] = {"BatchNorm_0": bs}
+            p[dst] = blk_p
+            s[dst] = blk_s
+    return p, s
+
+
+def convert_head(
+    sd: Mapping, num_layers: int = 3, prefix: str = "head."
+) -> Tuple[Dict, Dict]:
+    """Reference HeadNet state_dict -> (params, batch_stats) for DeconvHead.
+
+    Expects torch keys ``deconv.{3k}.weight`` (ConvTranspose), ``deconv.{3k+1}``
+    (BN) and ``final.{weight,bias}`` (tools/torch_reference.py layout)."""
+    p: Dict = {}
+    s: Dict = {}
+    for i in range(num_layers):
+        p[f"deconv{i + 1}"] = {
+            "kernel": _deconv_w(sd[f"{prefix}deconv.{3 * i}.weight"])
+        }
+        bp, bs = _bn(sd, f"{prefix}deconv.{3 * i + 1}")
+        p[f"bn{i + 1}"] = {"BatchNorm_0": bp}
+        s[f"bn{i + 1}"] = {"BatchNorm_0": bs}
+    p["final"] = {
+        "kernel": _conv_w(sd[prefix + "final.weight"]),
+        "bias": _np(sd[prefix + "final.bias"]),
+    }
+    return p, s
+
+
+def convert_posenet(sd: Mapping, resnet_type: int, num_deconv: int = 3):
+    """Full PoseNet (backbone.* + head.*) -> (params, batch_stats)."""
+    bp, bs = convert_backbone(sd, resnet_type, prefix="backbone.")
+    hp, hs = convert_head(sd, num_deconv, prefix="head.")
+    return {"backbone": bp, "head": hp}, {"backbone": bs, "head": hs}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("src", help=".pth / .pth.tar input")
+    ap.add_argument("dst", help="output .msgpack (flax serialized)")
+    ap.add_argument("--kind", choices=["backbone", "posenet"], default="backbone")
+    ap.add_argument("--resnet", type=int, default=50)
+    args = ap.parse_args()
+
+    import torch
+    from flax import serialization
+
+    blob = torch.load(args.src, map_location="cpu", weights_only=False)
+    sd = blob.get("network", blob.get("state_dict", blob)) if isinstance(blob, dict) else blob
+    # strip DataParallel 'module.' prefixes (reference snapshots carry them)
+    sd = { (k[7:] if k.startswith("module.") else k): v for k, v in sd.items() }
+
+    if args.kind == "backbone":
+        params, stats = convert_backbone(sd, args.resnet)
+    else:
+        params, stats = convert_posenet(sd, args.resnet)
+    with open(args.dst, "wb") as f:
+        f.write(serialization.to_bytes({"params": params, "batch_stats": stats}))
+    print(f"wrote {args.dst}")
+
+
+if __name__ == "__main__":
+    main()
