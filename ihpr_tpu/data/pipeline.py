@@ -1,0 +1,220 @@
+"""Host -> HBM input pipeline: canvas extraction, batching, double-buffered
+device feed.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` worker-process
+pipeline (``common/base.py:_make_batch_generator`` + ``data/dataset.py``).
+Division of labor (BASELINE.json "jit-compiled on-device pipeline feeding
+double-buffered HBM batches"):
+
+  host (this file, thread pool):  JPEG decode, fixed-size uint8 canvas crop
+      around the bbox (pure slice + pad — interpolation-free whenever the
+      needed extent fits the canvas), joint-order unification onto the
+      primary skeleton;
+  device (augment.make_patch_batch, jit):  affine warp, flip/rot/scale/color
+      augmentation, normalization, joint transforms.
+
+Because the canvas crop is a pure translation (scale 1) for typical bboxes,
+the device warp samples the same pixels the reference's single
+cv2.warpAffine would — host interpolation only kicks in for people larger
+than ``canvas_px / span`` pixels, recorded in ``canvas_scale``.
+
+``prefetch_to_device`` keeps two batches in flight (device_put is async)
+so host work overlaps device compute; pass a NamedSharding to land batches
+pre-sharded across the data-parallel mesh.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ihpr_tpu.config import Config
+from ihpr_tpu.data import skeletons
+from ihpr_tpu.data.datasets import PoseDataset, render_synthetic_image
+
+
+def _load_image(sample: dict) -> np.ndarray:
+    if sample.get("img_path") is None:
+        return render_synthetic_image(sample)
+    import cv2
+
+    img = cv2.imread(sample["img_path"], cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(sample["img_path"])
+    return img[:, :, ::-1]  # BGR -> RGB (reference trains on cv2 BGR order
+    # fed through ImageNet-normalized torchvision stats; we standardize on
+    # RGB so converted torchvision backbones see the channel order they
+    # were trained with)
+
+
+def extract_canvas(
+    img: np.ndarray, bbox: np.ndarray, canvas_px: int, span: float
+):
+    """Crop a (canvas_px, canvas_px) uint8 window centered on the bbox.
+
+    span: required extent as a multiple of the bbox long side (2.0 covers
+    rotation+scale augmentation; ~1.05 suffices for eval). Returns
+    (canvas, origin (2,), scale) with original_px = origin + scale * canvas_px.
+    """
+    h, w = img.shape[:2]
+    side = max(bbox[2], bbox[3]) * span
+    scale = max(1.0, side / canvas_px)
+    win = int(round(canvas_px * scale))
+    cx, cy = bbox[0] + bbox[2] / 2.0, bbox[1] + bbox[3] / 2.0
+    x0 = int(round(cx - win / 2.0))
+    y0 = int(round(cy - win / 2.0))
+
+    sx0, sy0 = max(0, x0), max(0, y0)
+    sx1, sy1 = min(w, x0 + win), min(h, y0 + win)
+    out = np.zeros((win, win, img.shape[2]), img.dtype)
+    if sx1 > sx0 and sy1 > sy0:
+        out[sy0 - y0 : sy1 - y0, sx0 - x0 : sx1 - x0] = img[sy0:sy1, sx0:sx1]
+    if scale > 1.0:
+        import cv2
+
+        out = cv2.resize(out, (canvas_px, canvas_px), interpolation=cv2.INTER_LINEAR)
+    return out, np.array([x0, y0], np.float32), np.float32(scale)
+
+
+@dataclasses.dataclass
+class HostBatch:
+    """Columnar numpy batch ready for device_put."""
+
+    canvas: np.ndarray  # (B, C, C, 3) uint8
+    canvas_origin: np.ndarray  # (B, 2)
+    canvas_scale: np.ndarray  # (B,)
+    bbox: np.ndarray  # (B, 4)
+    joints: np.ndarray  # (B, J, 3)
+    joint_vis: np.ndarray  # (B, J)
+    joints_have_depth: np.ndarray  # (B,)
+    sample_idx: np.ndarray  # (B,) indices into the dataset (for eval)
+
+
+class BatchLoader:
+    """Shuffled epoch iterator over one or more datasets, with joint-order
+    unification onto the primary (first) dataset's skeleton.
+
+    Reference: ``common/base.py:Trainer._make_batch_generator`` — multi-
+    dataset concat + ``transform_joint_to_other_db`` + DataLoader(shuffle).
+    """
+
+    def __init__(
+        self,
+        datasets: Sequence[PoseDataset],
+        cfg: Config,
+        batch_size: int,
+        train: bool = True,
+        canvas_px: int = 384,
+        num_workers: int = 8,
+        seed: int = 0,
+        drop_last: Optional[bool] = None,
+    ):
+        self.datasets = list(datasets)
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.train = train
+        self.canvas_px = canvas_px
+        self.span = 2.0 if train and cfg.data.use_aug else 1.05
+        self.seed = seed
+        self.drop_last = train if drop_last is None else drop_last
+        self.primary = self.datasets[0].skeleton
+        self._pool = cf.ThreadPoolExecutor(num_workers) if num_workers > 0 else None
+
+        aspect = cfg.data.input_shape[1] / cfg.data.input_shape[0]
+        from ihpr_tpu.data.geometry import process_bbox
+
+        # flatten (dataset_idx, sample_idx); pre-fix bboxes once
+        self.index: List[tuple] = []
+        for di, ds in enumerate(self.datasets):
+            maps = skeletons.joint_mapping_matrix(self.primary, ds.skeleton)
+            for si, s in enumerate(ds.samples):
+                bb = process_bbox(
+                    np.asarray(s["bbox"], np.float32),
+                    s["img_shape"][1],
+                    s["img_shape"][0],
+                    aspect,
+                    cfg.data.bbox_margin,
+                )
+                if bb is None:
+                    continue
+                self.index.append((di, si, bb))
+
+    @property
+    def joint_num(self) -> int:
+        return self.primary.joint_num
+
+    def __len__(self):
+        n = len(self.index)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _build_sample(self, entry):
+        di, si, bbox = entry
+        ds = self.datasets[di]
+        sample = ds.samples[si]
+        img = _load_image(sample)
+        canvas, origin, cscale = extract_canvas(img, bbox, self.canvas_px, self.span)
+        joints = sample["joint_img"]
+        vis = sample["joint_vis"]
+        if ds.skeleton.name != self.primary.name:
+            joints = skeletons.transform_joint_to_other_db(joints, ds.skeleton, self.primary)
+            vis = skeletons.transform_joint_to_other_db(
+                vis[:, None], ds.skeleton, self.primary
+            )[:, 0]
+        return canvas, origin, cscale, bbox, joints, vis, float(ds.skeleton.has_depth), si
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[HostBatch]:
+        order = np.arange(len(self.index))
+        if self.train:
+            np.random.RandomState(self.seed + epoch_idx).shuffle(order)
+        bs = self.batch_size
+        n_batches = len(self)
+        for b in range(n_batches):
+            sel = order[b * bs : (b + 1) * bs]
+            if len(sel) < bs:  # pad the final eval batch by repeating
+                sel = np.concatenate([sel, np.full(bs - len(sel), sel[-1] if len(sel) else 0)])
+            entries = [self.index[i] for i in sel]
+            if self._pool is not None:
+                rows = list(self._pool.map(self._build_sample, entries))
+            else:
+                rows = [self._build_sample(e) for e in entries]
+            canvas, origin, cscale, bbox, joints, vis, hd, sidx = zip(*rows)
+            yield HostBatch(
+                canvas=np.stack(canvas),
+                canvas_origin=np.stack(origin),
+                canvas_scale=np.asarray(cscale, np.float32),
+                bbox=np.stack(bbox).astype(np.float32),
+                joints=np.stack(joints).astype(np.float32),
+                joint_vis=np.stack(vis).astype(np.float32),
+                joints_have_depth=np.asarray(hd, np.float32),
+                sample_idx=np.asarray(sidx, np.int64),
+            )
+
+
+def prefetch_to_device(
+    it: Iterator[HostBatch], sharding=None, depth: int = 2
+) -> Iterator[Dict]:
+    """Double-buffered async device_put (BASELINE "double-buffered HBM
+    batches"). Yields dicts of device arrays."""
+    import collections
+
+    import jax
+
+    def put(hb: HostBatch):
+        arrays = dataclasses.asdict(hb)
+        arrays.pop("sample_idx")
+        if sharding is not None:
+            return {
+                k: jax.device_put(v, sharding) for k, v in arrays.items()
+            }, hb.sample_idx
+        return {k: jax.device_put(v) for k, v in arrays.items()}, hb.sample_idx
+
+    queue = collections.deque()
+    for hb in it:
+        queue.append(put(hb))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -1,0 +1,65 @@
+"""Epoch-granular checkpoint save/restore via Orbax.
+
+Reference: ``common/base.py:save_model/load_model`` — per-epoch
+``snapshot_{e}.pth.tar`` holding {epoch, network, optimizer} state dicts,
+``--continue`` resumes from the highest epoch found. Same semantics here:
+``output_dir/model_dump/snapshot_{e}`` holding the full TrainState + the
+data RNG key, so resume reproduces the exact training stream.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, output_dir: str):
+        self.dump_dir = os.path.abspath(os.path.join(output_dir, "model_dump"))
+        os.makedirs(self.dump_dir, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def _path(self, epoch: int) -> str:
+        return os.path.join(self.dump_dir, f"snapshot_{epoch}")
+
+    def save(self, epoch: int, state: Any, rng: jax.Array):
+        payload = {
+            "state": jax.device_get(state),
+            "rng": np.asarray(jax.random.key_data(rng)),
+            "epoch": np.asarray(epoch, np.int32),
+        }
+        self._ckpt.save(self._path(epoch), payload, force=True)
+        self._ckpt.wait_until_finished()
+
+    def latest_epoch(self) -> Optional[int]:
+        epochs = [
+            int(m.group(1))
+            for name in os.listdir(self.dump_dir)
+            if (m := re.fullmatch(r"snapshot_(\d+)", name))
+            and os.path.isdir(os.path.join(self.dump_dir, name))
+        ]
+        return max(epochs) if epochs else None
+
+    def load(self, epoch: int, template: Any, rng_template: jax.Array) -> Tuple[Any, jax.Array, int]:
+        payload = self._ckpt.restore(
+            self._path(epoch),
+            {
+                "state": jax.device_get(template),
+                "rng": np.asarray(jax.random.key_data(rng_template)),
+                "epoch": np.asarray(0, np.int32),
+            },
+        )
+        rng = jax.random.wrap_key_data(payload["rng"])
+        return payload["state"], rng, int(payload["epoch"])
+
+    def load_latest(self, template: Any, rng_template: jax.Array):
+        """Reference ``--continue``: resume from the highest snapshot."""
+        epoch = self.latest_epoch()
+        if epoch is None:
+            return None
+        return self.load(epoch, template, rng_template)

@@ -1,0 +1,45 @@
+"""ANSI-colored console + file logger.
+
+Reference: ``common/logger.py:colorlogger:~1-50`` (logging to
+``output/log/{train,test}_logs.txt`` + colored console).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+_COLORS = {
+    logging.DEBUG: "\033[37m",
+    logging.INFO: "\033[92m",
+    logging.WARNING: "\033[93m",
+    logging.ERROR: "\033[91m",
+}
+_RESET = "\033[0m"
+
+
+class _ColorFormatter(logging.Formatter):
+    def format(self, record):
+        msg = super().format(record)
+        if sys.stdout.isatty():
+            return f"{_COLORS.get(record.levelno, '')}{msg}{_RESET}"
+        return msg
+
+
+def colorlogger(log_dir: str | None = None, log_name: str = "train_logs.txt") -> logging.Logger:
+    logger = logging.getLogger(f"ihpr.{log_name}")
+    logger.setLevel(logging.INFO)
+    logger.propagate = False
+    if logger.handlers:
+        return logger
+    fmt = "%(asctime)s %(message)s"
+    console = logging.StreamHandler(sys.stdout)
+    console.setFormatter(_ColorFormatter(fmt, datefmt="%H:%M:%S"))
+    logger.addHandler(console)
+    if log_dir:
+        os.makedirs(log_dir, exist_ok=True)
+        fh = logging.FileHandler(os.path.join(log_dir, log_name))
+        fh.setFormatter(logging.Formatter(fmt))
+        logger.addHandler(fh)
+    return logger

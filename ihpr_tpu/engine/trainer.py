@@ -1,0 +1,134 @@
+"""Trainer: epoch loop wiring data -> SPMD step -> checkpoint/metrics.
+
+Reference: ``common/base.py:Trainer`` + the ``main/train.py`` epoch loop
+(per-iter log line with epoch/itr/lr/speed-from-3-timers/loss; snapshot
+per epoch; ``--continue`` resume).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from ihpr_tpu.config import Config
+from ihpr_tpu.data.datasets import PoseDataset, build_dataset
+from ihpr_tpu.data.pipeline import BatchLoader, prefetch_to_device
+from ihpr_tpu.engine.checkpoint import CheckpointManager
+from ihpr_tpu.engine.logger import colorlogger
+from ihpr_tpu.models.pose_net import build_pose_net
+from ihpr_tpu.parallel import (
+    batch_sharding,
+    create_train_state,
+    make_mesh,
+    make_train_step,
+)
+from ihpr_tpu.parallel.train_step import make_lr_schedule
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        data_root: Optional[str] = None,
+        continue_train: bool = False,
+        datasets: Optional[Sequence[PoseDataset]] = None,
+        num_workers: int = 8,
+        synthetic_size: int = 512,
+    ):
+        self.cfg = cfg
+        self.logger = colorlogger(f"{cfg.output_dir}/log", "train_logs.txt")
+
+        if datasets is None:
+            datasets = [
+                build_dataset(name, "train", cfg, data_root, synthetic_size)
+                for name in cfg.data.trainset
+            ]
+        self.mesh = make_mesh(cfg.parallel.data_axis_size, cfg.parallel.data_axis_name)
+        n_dev = self.mesh.devices.size
+        global_batch = cfg.optim.batch_size_per_device * n_dev
+        self.loader = BatchLoader(
+            datasets, cfg, global_batch, train=True, num_workers=num_workers, seed=cfg.seed
+        )
+        self.steps_per_epoch = len(self.loader)
+        self.logger.info(
+            f"train: {sum(len(d) for d in datasets)} samples "
+            f"({'+'.join(d.name for d in datasets)}), {n_dev} device(s), "
+            f"global batch {global_batch}, {self.steps_per_epoch} steps/epoch"
+        )
+
+        self.model = build_pose_net(cfg, self.loader.joint_num)
+        rng = jax.random.key(cfg.seed)
+        self.data_rng, init_rng = jax.random.split(rng)
+        self.state, self.tx = create_train_state(
+            self.model, cfg, init_rng, self.steps_per_epoch, mesh=self.mesh
+        )
+        self.step_fn = make_train_step(
+            self.model, self.tx, cfg, self.mesh, donate=cfg.parallel.donate
+        )
+        self.lr_sched = make_lr_schedule(cfg, self.steps_per_epoch)
+        self.ckpt = CheckpointManager(cfg.output_dir)
+        self.start_epoch = 0
+        if continue_train:
+            restored = self.ckpt.load_latest(self.state, self.data_rng)
+            if restored is not None:
+                self.state, self.data_rng, epoch = restored
+                self.start_epoch = epoch + 1
+                self.logger.info(f"resumed from snapshot_{epoch}")
+
+    def load_pretrained_backbone(self, msgpack_path: str):
+        """Install converted ImageNet weights (tools/convert_torch_ckpt.py);
+        replaces the reference's model-zoo download."""
+        from flax import serialization
+
+        with open(msgpack_path, "rb") as f:
+            blob = serialization.from_bytes(None, f.read())
+        params = dict(self.state.params)
+        stats = dict(self.state.batch_stats)
+        params["backbone"] = jax.tree.map(np.asarray, blob["params"])
+        stats["backbone"] = jax.tree.map(np.asarray, blob["batch_stats"])
+        self.state = self.state.replace(params=params, batch_stats=stats)
+        self.logger.info(f"loaded pretrained backbone from {msgpack_path}")
+
+    def train(self, end_epoch: Optional[int] = None):
+        cfg = self.cfg
+        end_epoch = end_epoch or cfg.optim.end_epoch
+        n_dev = self.mesh.devices.size
+        global_batch = cfg.optim.batch_size_per_device * n_dev
+        sharding = batch_sharding(self.mesh)
+
+        # Device execution is async (and on tunneled platforms
+        # block_until_ready can resolve before real completion), so per-iter
+        # host timers lie. Truthful speed = wall-clock between metric pulls
+        # (pulling the loss forces the whole chain to complete), divided by
+        # the steps in that window.
+        log_every = 50
+        import time as _time
+
+        for epoch in range(self.start_epoch, end_epoch):
+            epoch_rng = jax.random.fold_in(self.data_rng, epoch)
+            it = prefetch_to_device(self.loader.epoch(epoch), sharding)
+            window_start = _time.perf_counter()
+            window_steps = 0
+            for itr, (batch, _) in enumerate(it):
+                self.state, metrics = self.step_fn(self.state, batch, epoch_rng)
+                window_steps += 1
+                if itr % log_every == 0 or itr == self.steps_per_epoch - 1:
+                    loss = float(metrics["loss"])  # sync point
+                    now = _time.perf_counter()
+                    itr_time = (now - window_start) / window_steps
+                    window_start, window_steps = now, 0
+                    step = int(self.state.step)
+                    lr = float(self.lr_sched(step))
+                    speed = global_batch / max(itr_time, 1e-9)
+                    self.logger.info(
+                        f"epoch {epoch}/{end_epoch} itr {itr}/{self.steps_per_epoch}: "
+                        f"lr {lr:.2e} loss {loss:.4f} "
+                        f"{itr_time * 1e3:.1f} ms/itr {speed:.1f} img/s "
+                        f"({speed / n_dev:.1f} img/s/chip)"
+                    )
+            self.ckpt.save(epoch, self.state, self.data_rng)
+            self.logger.info(f"saved snapshot_{epoch}")
+        return self.state

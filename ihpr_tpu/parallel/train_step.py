@@ -1,0 +1,219 @@
+"""Jitted SPMD train / eval steps.
+
+Reference hot loop: ``main/train.py:~40-80`` (forward -> JointLocationLoss
+-> backward -> Adam step under nn.DataParallel) and ``main/test.py:~30-70``
+(no-grad forward + flip-test averaging).
+
+Here ONE jitted function per step covers: on-device augmentation + warp
+(augment.make_patch_batch), model forward (bf16-capable), fused Pallas
+integral, masked L1, backward, optax update — with the batch sharded over
+the ``data`` mesh axis and parameters replicated. XLA inserts the gradient
+all-reduce (ICI); BatchNorm statistics are computed over the GLOBAL batch
+(sync-BN — stricter than the reference's per-GPU stats).
+
+Eval implements the reference flip-test: average coords with the
+x-mirrored, pair-swapped coords of the flipped patch (``main/test.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ihpr_tpu.config import Config
+from ihpr_tpu.data import skeletons
+from ihpr_tpu.data.augment import make_patch_batch
+from ihpr_tpu.models.pose_net import PoseNet
+from ihpr_tpu.ops import joint_location_loss
+from ihpr_tpu.ops.integral_pallas import soft_argmax_from_heatmap
+from ihpr_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_lr_schedule(cfg: Config, steps_per_epoch: int) -> optax.Schedule:
+    """Step decay x(1/lr_dec_factor) at lr_dec_epoch boundaries
+    (reference ``common/base.py:set_lr``)."""
+    return optax.piecewise_constant_schedule(
+        cfg.optim.lr,
+        {
+            int(e * steps_per_epoch): 1.0 / cfg.optim.lr_dec_factor
+            for e in cfg.optim.lr_dec_epoch
+        },
+    )
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    sched = make_lr_schedule(cfg, steps_per_epoch)
+    tx = optax.adam(sched)  # reference: Adam, default betas
+    if cfg.optim.grad_clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.optim.grad_clip_norm), tx)
+    if cfg.optim.weight_decay:
+        tx = optax.chain(tx, optax.add_decayed_weights(-cfg.optim.weight_decay))
+    return tx
+
+
+def create_train_state(
+    model: PoseNet,
+    cfg: Config,
+    rng: jax.Array,
+    steps_per_epoch: int,
+    params: Any = None,
+    batch_stats: Any = None,
+    mesh=None,
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    if params is None:
+        dummy = jnp.zeros((1, *cfg.data.input_shape, 3), jnp.float32)
+        variables = model.init(rng, dummy, train=False)
+        params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = make_optimizer(cfg, steps_per_epoch)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+    if mesh is not None:
+        # Land the state in the exact replicated layout the jitted step emits;
+        # otherwise the second step sees different input shardings and
+        # triggers a full recompile (~30s on this model).
+        state = jax.device_put(state, replicated_sharding(mesh))
+    return state, tx
+
+
+def make_train_step(
+    model: PoseNet,
+    tx: optax.GradientTransformation,
+    cfg: Config,
+    mesh=None,
+    donate: bool = True,
+    debug_grads: bool = False,
+) -> Callable:
+    """Returns step(state, batch_dict, rng) -> (state, metrics).
+
+    batch_dict: device arrays from pipeline.prefetch_to_device —
+    canvas/canvas_origin/canvas_scale/bbox/joints/joint_vis/joints_have_depth.
+    """
+    flip_perm = skeletons.get_skeleton(cfg.data.trainset[0]).flip_permutation()
+    joint_num = len(flip_perm)
+    depth_dim = cfg.data.depth_dim
+
+    def step(state: TrainState, batch: dict, rng: jax.Array):
+        aug_rng = jax.random.fold_in(rng, state.step)
+        patch = make_patch_batch(
+            batch["canvas"],
+            batch["canvas_origin"],
+            batch["canvas_scale"],
+            batch["bbox"],
+            batch["joints"],
+            batch["joint_vis"],
+            batch["joints_have_depth"],
+            flip_perm,
+            cfg.data,
+            rng=aug_rng,
+            train=True,
+        )
+
+        def loss_fn(params):
+            heatmap, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                patch.image,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            coords = soft_argmax_from_heatmap(heatmap, joint_num, depth_dim)
+            loss = joint_location_loss(
+                coords, patch.joint_img, patch.joint_vis, patch.joints_have_depth
+            )
+            return loss, updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        if debug_grads:  # test-only: raw grads for DP-equivalence checks
+            metrics["grads"] = grads
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+    rep = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, bsh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model: PoseNet, cfg: Config, mesh=None) -> Callable:
+    """Returns eval_step(params, batch_stats, batch_dict) -> (B, J, 3) voxel
+    coords, with the reference's flip-test averaging when cfg.eval.flip_test."""
+    skel = skeletons.get_skeleton(cfg.data.testset)
+    flip_perm = skel.flip_permutation()
+    joint_num = len(flip_perm)
+    depth_dim = cfg.data.depth_dim
+    out_w = cfg.data.output_shape[1]
+
+    def infer(params, batch_stats, image):
+        heatmap = model.apply(
+            {"params": params, "batch_stats": batch_stats}, image, train=False
+        )
+        return soft_argmax_from_heatmap(heatmap, joint_num, depth_dim)
+
+    def eval_step(params, batch_stats, batch: dict):
+        patch = make_patch_batch(
+            batch["canvas"],
+            batch["canvas_origin"],
+            batch["canvas_scale"],
+            batch["bbox"],
+            batch["joints"],
+            batch["joint_vis"],
+            batch["joints_have_depth"],
+            flip_perm,
+            cfg.data,
+            rng=None,
+            train=False,
+        )
+        coords = infer(params, batch_stats, patch.image)
+        if cfg.eval.flip_test:
+            flipped = patch.image[:, :, ::-1, :]
+            cf = infer(params, batch_stats, flipped)
+            x = out_w - 1.0 - cf[..., 0]
+            cf = jnp.concatenate([x[..., None], cf[..., 1:]], axis=-1)
+            cf = cf[:, flip_perm, :]
+            coords = (coords + cf) * 0.5
+        return coords, patch.joint_img, patch.joint_vis
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    rep = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        eval_step,
+        in_shardings=(rep, rep, bsh),
+        out_shardings=(bsh, bsh, bsh),
+    )

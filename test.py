@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Evaluation CLI.
+
+Reference: ``main/test.py`` (argparse --gpu/--test_epoch; no-grad loop with
+flip-test; db.evaluate -> per-action MPJPE table).
+
+Examples:
+    python test.py --config h36m3d_r50 --test_epoch 24 --data_root /data/Human36M
+    python test.py --config h36m3d_r50 --synthetic
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default="h36m3d_r50")
+    ap.add_argument("--data_root", default=None)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--test_epoch", type=int, default=None, help="snapshot epoch (default: latest)")
+    ap.add_argument("--synthetic_size", type=int, default=128)
+    ap.add_argument("--num_workers", type=int, default=8)
+    ap.add_argument("--output_dir", default=None)
+    args = ap.parse_args()
+
+    from ihpr_tpu.config import get_config
+    from ihpr_tpu.engine.tester import Tester
+
+    cfg = get_config(args.config)
+    if args.output_dir:
+        cfg = cfg.replace(output_dir=args.output_dir)
+    data_root = "synthetic" if args.synthetic else args.data_root
+
+    tester = Tester(
+        cfg,
+        test_epoch=args.test_epoch,
+        data_root=data_root,
+        num_workers=args.num_workers,
+        synthetic_size=args.synthetic_size,
+    )
+    metrics = tester.evaluate()
+    print(metrics)
+
+
+if __name__ == "__main__":
+    main()

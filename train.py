@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Reference: ``main/train.py`` (argparse --gpu/--continue; epoch loop).
+Flag-compatible spirit: --config names one of the five BASELINE configs,
+--continue resumes the latest snapshot.
+
+Examples:
+    python train.py --config h36m3d_r50 --data_root /data/Human36M
+    python train.py --config h36m3d_r50 --synthetic --steps 20   # smoke run
+    python train.py --config h36m3d_r50 --continue
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default="h36m3d_r50")
+    ap.add_argument("--data_root", default=None, help="dataset root directory")
+    ap.add_argument("--synthetic", action="store_true", help="train on synthetic data")
+    ap.add_argument("--continue", dest="continue_train", action="store_true")
+    ap.add_argument("--end_epoch", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=None, help="cap steps/epoch (smoke runs)")
+    ap.add_argument("--synthetic_size", type=int, default=512)
+    ap.add_argument("--pretrained", default=None, help="converted backbone .msgpack")
+    ap.add_argument("--num_workers", type=int, default=8)
+    ap.add_argument("--output_dir", default=None)
+    args = ap.parse_args()
+
+    from ihpr_tpu.config import get_config
+    from ihpr_tpu.engine.trainer import Trainer
+
+    cfg = get_config(args.config)
+    if args.output_dir:
+        cfg = cfg.replace(output_dir=args.output_dir)
+    data_root = "synthetic" if args.synthetic else args.data_root
+
+    trainer = Trainer(
+        cfg,
+        data_root=data_root,
+        continue_train=args.continue_train,
+        num_workers=args.num_workers,
+        synthetic_size=args.synthetic_size,
+    )
+    if args.pretrained:
+        trainer.load_pretrained_backbone(args.pretrained)
+    if args.steps is not None:
+        trainer.steps_per_epoch = min(trainer.steps_per_epoch, args.steps)
+        trainer.loader.drop_last = True
+        base_epoch = trainer.loader.epoch
+
+        def capped(e):
+            for i, b in enumerate(base_epoch(e)):
+                if i >= args.steps:
+                    break
+                yield b
+
+        trainer.loader.epoch = capped
+    trainer.train(args.end_epoch)
+
+
+if __name__ == "__main__":
+    main()
