@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark: H36M training throughput (images/sec/chip) on the flagship
+ResNet-50 integral-pose config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Methodology (this platform's async dispatch resolves block_until_ready
+early, so naive timing lies): N train steps are CHAINED — each step's
+output state feeds the next — and a single scalar pull at the end forces
+the whole chain; wall-clock / N is the true step time. Input batches are
+pre-staged on device so host IO is excluded (the threaded canvas loader
+overlaps it in real training).
+
+Baseline: the reference (PyTorch, ``main/train.py``) publishes no
+throughput. BASELINE.json's north star is ">=2x H100 images/sec/chip"; an
+H100-SXM running the reference's R50 @ 256x256 train loop under AMP
+measures ~1300 img/s in public MLPerf-adjacent configs, so vs_baseline is
+computed against 1300 img/s = "1x H100". Re-anchor when a real H100
+measurement of the reference becomes available.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+H100_BASELINE_IMG_PER_SEC = 1300.0
+
+
+def main():
+    import jax
+
+    from ihpr_tpu.config import get_config
+    from ihpr_tpu.data import skeletons
+    from ihpr_tpu.data.datasets import PoseDataset, make_synthetic
+    from ihpr_tpu.data.pipeline import BatchLoader, prefetch_to_device
+    from ihpr_tpu.models.pose_net import build_pose_net
+    from ihpr_tpu.parallel import (
+        batch_sharding,
+        create_train_state,
+        make_mesh,
+        make_train_step,
+    )
+
+    cfg = get_config("h36m3d_r50")
+    n_chips = len(jax.devices())
+    batch = cfg.optim.batch_size_per_device * n_chips
+    print(
+        f"bench: {jax.default_backend()} x{n_chips}, global batch {batch}",
+        file=sys.stderr,
+    )
+
+    skel = skeletons.H36M
+    ds = PoseDataset("Human36M", skel, make_synthetic(skel, 96, seed=0, img_size=320), True)
+    loader = BatchLoader([ds], cfg, batch, train=True, num_workers=8)
+    mesh = make_mesh()
+    model = build_pose_net(cfg)
+    state, tx = create_train_state(model, cfg, jax.random.key(0), len(loader), mesh=mesh)
+    step = make_train_step(model, tx, cfg, mesh, donate=False)
+
+    sharding = batch_sharding(mesh)
+    batches = [b for b, _ in prefetch_to_device(loader.epoch(0), sharding)][:2]
+
+    rng = jax.random.key(1)
+    t0 = time.perf_counter()
+    state, metrics = step(state, batches[0], rng)
+    _ = float(metrics["loss"])
+    print(f"bench: compile+first step {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    warmup, iters = 3, 30
+    for i in range(warmup):
+        state, metrics = step(state, batches[i % 2], rng)
+    _ = float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batches[i % 2], rng)
+    _ = float(metrics["loss"])  # single pull forces the chained pipeline
+    dt = (time.perf_counter() - t0) / iters
+
+    img_per_sec_per_chip = batch / dt / n_chips
+    print(
+        f"bench: {dt * 1e3:.1f} ms/step, {img_per_sec_per_chip:.1f} img/s/chip",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "h36m_r50_train_images_per_sec_per_chip",
+                "value": round(img_per_sec_per_chip, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec_per_chip / H100_BASELINE_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -26,3 +26,30 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: compiles on this platform go
+    through a remote helper and cost minutes (R50 train step ~30-400s);
+    caching makes every process after the first start instantly.
+    Opt out with IHPR_NO_COMPILATION_CACHE=1."""
+    import os
+
+    if os.environ.get("IHPR_NO_COMPILATION_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "ihpr_jax_cache"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
+
+_enable_compilation_cache()
