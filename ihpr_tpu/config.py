@@ -141,7 +141,14 @@ CONFIGS = {
         data=DataConfig(trainset=("MPII",), testset="MPII", depth_dim=1),
     ),
     # 3. Human3.6M 3D: ResNet-50 + 64^3 volumetric integral, full train/eval.
-    "h36m3d_r50": _cfg(name="h36m3d_r50"),
+    # bf16 convs with fp32 master params + fp32 heatmap logits/integral —
+    # the TPU-native mixed-precision recipe (MXU runs bf16 natively; the
+    # precision-sensitive softmax stays fp32). Use the _fp32 variant to
+    # reproduce the reference's full-fp32 arithmetic.
+    "h36m3d_r50": _cfg(
+        name="h36m3d_r50", model=ModelConfig(compute_dtype="bfloat16")
+    ),
+    "h36m3d_r50_fp32": _cfg(name="h36m3d_r50_fp32"),
     # 4. ResNet-152 @ 288x384 input, mixed H36M+MPII batches, bf16 matmuls.
     "h36m3d_r152_384": _cfg(
         name="h36m3d_r152_384",

@@ -50,6 +50,20 @@ jax.tree_util.register_dataclass(
 )
 
 
+def finalize_patch(
+    patch_u8: jax.Array, color_scale: jax.Array, cfg: DataConfig
+) -> jax.Array:
+    """Device tail of the native host-warp path: color jitter + clip +
+    ImageNet normalize on an already-warped uint8 patch (reference
+    data/dataset.py: color scale then ToTensor+Normalize). XLA fuses this
+    into the backbone's first conv input."""
+    img = patch_u8.astype(jnp.float32) * color_scale[:, None, None, :]
+    img = jnp.clip(img, 0.0, 255.0)
+    mean = jnp.asarray(cfg.pixel_mean, jnp.float32) * 255.0
+    std = jnp.asarray(cfg.pixel_std, jnp.float32) * 255.0
+    return (img - mean) / std
+
+
 def sample_aug_params(rng: jax.Array, batch: int, cfg: DataConfig):
     """Reference: data/dataset.py:get_aug_config, vectorized over the batch."""
     k_s, k_r, k_rp, k_f, k_c = jax.random.split(rng, 5)

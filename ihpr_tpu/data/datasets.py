@@ -351,14 +351,23 @@ def make_synthetic(
 
 def render_synthetic_image(sample: dict, sigma: float = 4.0) -> np.ndarray:
     """(H, W, 3) uint8 with a Gaussian blob per joint (channel-coded by
-    joint index so the net can tell joints apart)."""
+    joint index so the net can tell joints apart). Blobs are rendered only
+    in a +-4 sigma window — full-frame grids made this the input-pipeline
+    bottleneck."""
     h, w = sample["img_shape"]
-    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
     img = np.zeros((h, w, 3), np.float32)
     joints = sample["joint_img"]
+    r = int(4 * sigma)
     for j, (x, y, _z) in enumerate(joints):
+        xi, yi = int(round(x)), int(round(y))
+        x0, x1 = max(0, xi - r), min(w, xi + r + 1)
+        y0, y1 = max(0, yi - r), min(h, yi + r + 1)
+        if x0 >= x1 or y0 >= y1:
+            continue
+        ys = np.arange(y0, y1, dtype=np.float32)[:, None]
+        xs = np.arange(x0, x1, dtype=np.float32)[None, :]
         blob = np.exp(-((xs - x) ** 2 + (ys - y) ** 2) / (2 * sigma**2))
-        img[..., j % 3] += blob * (120 + 120 * ((j // 3) % 2))
+        img[y0:y1, x0:x1, j % 3] += blob * (120 + 120 * ((j // 3) % 2))
     return np.clip(img, 0, 255).astype(np.uint8)
 
 

@@ -1,0 +1,95 @@
+"""ctypes bindings for the native host-warp library (native/warp.cc).
+
+Auto-builds the .so on first use if the toolchain is available; callers
+fall back to the pure-numpy/cv2 path when it is not (``available()``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SO = os.path.join(_ROOT, "native", "libihprwarp.so")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO):
+        build = os.path.join(_ROOT, "native", "build.sh")
+        if os.path.exists(build):
+            try:
+                subprocess.run(["sh", build], check=True, capture_output=True)
+            except Exception:
+                return None
+    if not os.path.exists(_SO):
+        return None
+    lib = ctypes.CDLL(_SO)
+    lib.warp_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),  # srcs
+        ctypes.POINTER(ctypes.c_int32),  # dims
+        ctypes.c_int,  # ch
+        ctypes.POINTER(ctypes.c_float),  # invs
+        ctypes.POINTER(ctypes.c_int32),  # flips
+        ctypes.POINTER(ctypes.c_uint8),  # dst
+        ctypes.c_int,  # batch
+        ctypes.c_int,  # oh
+        ctypes.c_int,  # ow
+    ]
+    lib.warp_batch_u8.restype = None
+    lib.omp_max_threads.restype = ctypes.c_int
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def warp_batch(
+    images: Sequence[np.ndarray],
+    inv_mats: np.ndarray,
+    flips: np.ndarray,
+    out_h: int,
+    out_w: int,
+) -> np.ndarray:
+    """Warp B variable-size uint8 HWC images -> (B, out_h, out_w, C) uint8.
+
+    inv_mats: (B, 2, 3) DESTINATION->SOURCE affines; flips: (B,) bool —
+    mirrors source x before sampling (applied to the pre-flip matrix,
+    matching the reference's flip-then-warp order).
+    """
+    lib = _load()
+    assert lib is not None, "native warp library unavailable"
+    batch = len(images)
+    ch = images[0].shape[2]
+    imgs = [np.ascontiguousarray(im, dtype=np.uint8) for im in images]
+    srcs = (ctypes.c_void_p * batch)(
+        *[im.ctypes.data_as(ctypes.c_void_p).value for im in imgs]
+    )
+    dims = np.asarray([[im.shape[0], im.shape[1]] for im in imgs], np.int32)
+    invs = np.ascontiguousarray(inv_mats, np.float32).reshape(batch, 6)
+    fl = np.asarray(flips, np.int32)
+    out = np.empty((batch, out_h, out_w, ch), np.uint8)
+    lib.warp_batch_u8(
+        srcs,
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ch,
+        invs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        fl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        batch,
+        out_h,
+        out_w,
+    )
+    return out

@@ -81,7 +81,7 @@ def extract_canvas(
 
 @dataclasses.dataclass
 class HostBatch:
-    """Columnar numpy batch ready for device_put."""
+    """Columnar numpy batch for the on-device warp path."""
 
     canvas: np.ndarray  # (B, C, C, 3) uint8
     canvas_origin: np.ndarray  # (B, 2)
@@ -91,6 +91,21 @@ class HostBatch:
     joint_vis: np.ndarray  # (B, J)
     joints_have_depth: np.ndarray  # (B,)
     sample_idx: np.ndarray  # (B,) indices into the dataset (for eval)
+
+
+@dataclasses.dataclass
+class WarpedHostBatch:
+    """Columnar numpy batch for the native host-warp fast path: patches are
+    already warped (native/warp.cc, reference cv2 semantics); the device
+    only runs the fused color-jitter + normalize tail
+    (augment.finalize_patch)."""
+
+    patch: np.ndarray  # (B, in_h, in_w, 3) uint8
+    color_scale: np.ndarray  # (B, 3)
+    joint_img: np.ndarray  # (B, J, 3) voxel coords
+    joint_vis: np.ndarray  # (B, J)
+    joints_have_depth: np.ndarray  # (B,)
+    sample_idx: np.ndarray  # (B,)
 
 
 class BatchLoader:
@@ -111,7 +126,10 @@ class BatchLoader:
         num_workers: int = 8,
         seed: int = 0,
         drop_last: Optional[bool] = None,
+        host_warp: Optional[bool] = None,
     ):
+        from ihpr_tpu.data import native
+
         self.datasets = list(datasets)
         self.cfg = cfg
         self.batch_size = batch_size
@@ -122,6 +140,10 @@ class BatchLoader:
         self.drop_last = train if drop_last is None else drop_last
         self.primary = self.datasets[0].skeleton
         self._pool = cf.ThreadPoolExecutor(num_workers) if num_workers > 0 else None
+        # Host-warp fast path by default when the native library is present
+        # (TPU gathers make the on-device warp latency-bound; a host core
+        # warps an image in ~1 ms, fully overlapped by prefetch).
+        self.host_warp = native.available() if host_warp is None else host_warp
 
         aspect = cfg.data.input_shape[1] / cfg.data.input_shape[0]
         from ihpr_tpu.data.geometry import process_bbox
@@ -165,16 +187,24 @@ class BatchLoader:
             )[:, 0]
         return canvas, origin, cscale, bbox, joints, vis, float(ds.skeleton.has_depth), si
 
-    def epoch(self, epoch_idx: int = 0) -> Iterator[HostBatch]:
+    def _batch_selection(self, epoch_idx: int):
         order = np.arange(len(self.index))
         if self.train:
             np.random.RandomState(self.seed + epoch_idx).shuffle(order)
         bs = self.batch_size
-        n_batches = len(self)
-        for b in range(n_batches):
+        for b in range(len(self)):
             sel = order[b * bs : (b + 1) * bs]
             if len(sel) < bs:  # pad the final eval batch by repeating
-                sel = np.concatenate([sel, np.full(bs - len(sel), sel[-1] if len(sel) else 0)])
+                sel = np.concatenate(
+                    [sel, np.full(bs - len(sel), sel[-1] if len(sel) else 0)]
+                )
+            yield sel
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator:
+        if self.host_warp:
+            yield from self._epoch_host_warp(epoch_idx)
+            return
+        for sel in self._batch_selection(epoch_idx):
             entries = [self.index[i] for i in sel]
             if self._pool is not None:
                 rows = list(self._pool.map(self._build_sample, entries))
@@ -190,6 +220,116 @@ class BatchLoader:
                 joint_vis=np.stack(vis).astype(np.float32),
                 joints_have_depth=np.asarray(hd, np.float32),
                 sample_idx=np.asarray(sidx, np.int64),
+            )
+
+    # ---- native host-warp fast path -------------------------------------
+
+    def _sample_aug_np(self, rng: np.random.RandomState):
+        """numpy twin of augment.sample_aug_params (reference
+        data/dataset.py:get_aug_config) for one sample."""
+        d = self.cfg.data
+        if not (self.train and d.use_aug):
+            return 1.0, 0.0, False, np.ones(3, np.float32)
+        scale = 1.0 + d.scale_factor * float(np.clip(rng.randn(), -1.0, 1.0))
+        rot = (
+            2.0 * d.rot_factor * float(np.clip(rng.randn(), -2.0, 2.0))
+            if rng.rand() <= d.rot_prob
+            else 0.0
+        )
+        do_flip = bool(rng.rand() <= d.flip_prob)
+        color = rng.uniform(1.0 - d.color_factor, 1.0 + d.color_factor, 3).astype(
+            np.float32
+        )
+        return scale, rot, do_flip, color
+
+    def _load_entry_image(self, entry):
+        di, si, _ = entry
+        return _load_image(self.datasets[di].samples[si])
+
+    def _epoch_host_warp(self, epoch_idx: int) -> Iterator[WarpedHostBatch]:
+        from ihpr_tpu.data import native
+        from ihpr_tpu.data.warp import gen_trans_np, trans_point2d_np
+
+        d = self.cfg.data
+        in_h, in_w = d.input_shape
+        out_h, out_w = d.output_shape
+        perm = self.primary.flip_permutation()
+        for bi, sel in enumerate(self._batch_selection(epoch_idx)):
+            entries = [self.index[i] for i in sel]
+            if self._pool is not None:
+                images = list(self._pool.map(self._load_entry_image, entries))
+            else:
+                images = [self._load_entry_image(e) for e in entries]
+
+            b = len(entries)
+            invs = np.empty((b, 2, 3), np.float32)
+            fwds = np.empty((b, 2, 3), np.float32)
+            flips = np.zeros(b, np.int32)
+            colors = np.empty((b, 3), np.float32)
+            scales = np.empty(b, np.float32)
+            rots = np.empty(b, np.float32)
+            for k, (entry, img) in enumerate(zip(entries, images)):
+                rng = np.random.RandomState(
+                    (self.seed * 1000003 + epoch_idx * 131071 + int(sel[k])) % (2**31)
+                )
+                scale, rot, do_flip, color = self._sample_aug_np(rng)
+                di, si, bbox = entry
+                w_img = img.shape[1]
+                c_x = bbox[0] + bbox[2] * 0.5
+                c_y = bbox[1] + bbox[3] * 0.5
+                if do_flip:  # reference: flip image, mirror bbox center
+                    c_x = w_img - 1.0 - c_x
+                invs[k] = gen_trans_np(c_x, c_y, bbox[2], bbox[3], in_w, in_h, scale, rot, inv=True)
+                fwds[k] = gen_trans_np(c_x, c_y, bbox[2], bbox[3], in_w, in_h, scale, rot)
+                flips[k] = int(do_flip)
+                colors[k] = color
+                scales[k], rots[k] = scale, rot
+
+            patches = native.warp_batch(images, invs, flips, in_h, in_w)
+
+            joint_img = np.empty((b, self.primary.joint_num, 3), np.float32)
+            joint_vis = np.empty((b, self.primary.joint_num), np.float32)
+            hd = np.empty(b, np.float32)
+            for k, (entry, img) in enumerate(zip(entries, images)):
+                di, si, bbox = entry
+                ds = self.datasets[di]
+                sample = ds.samples[si]
+                joints = sample["joint_img"]
+                vis = sample["joint_vis"]
+                if ds.skeleton.name != self.primary.name:
+                    joints = skeletons.transform_joint_to_other_db(
+                        joints, ds.skeleton, self.primary
+                    )
+                    vis = skeletons.transform_joint_to_other_db(
+                        vis[:, None], ds.skeleton, self.primary
+                    )[:, 0]
+                xy = joints[:, :2].copy()
+                z = joints[:, 2].copy()
+                if flips[k]:
+                    xy[:, 0] = img.shape[1] - 1.0 - xy[:, 0]
+                    xy = xy[perm]
+                    z = z[perm]
+                    vis = vis[perm]
+                xy_patch = trans_point2d_np(xy, fwds[k])
+                x_hm = xy_patch[:, 0] / in_w * out_w
+                y_hm = xy_patch[:, 1] / in_h * out_h
+                z_hm = z / (d.bbox_3d_shape[0] / 2.0) * (d.depth_dim / 2.0) + d.depth_dim / 2.0
+                inside = (
+                    (x_hm >= 0) & (x_hm < out_w)
+                    & (y_hm >= 0) & (y_hm < out_h)
+                    & (z_hm >= 0) & (z_hm < d.depth_dim)
+                )
+                joint_img[k] = np.stack([x_hm, y_hm, z_hm], -1)
+                joint_vis[k] = vis * inside.astype(np.float32)
+                hd[k] = float(ds.skeleton.has_depth)
+
+            yield WarpedHostBatch(
+                patch=patches,
+                color_scale=colors,
+                joint_img=joint_img,
+                joint_vis=joint_vis,
+                joints_have_depth=hd,
+                sample_idx=np.asarray([self.index[i][1] for i in sel], np.int64),
             )
 
 

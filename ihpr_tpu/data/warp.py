@@ -34,13 +34,33 @@ def rotate_2d(pt, rot_rad):
 def _affine_from_3pts(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     """Solve the 2x3 affine M with M @ [src_i, 1] = dst_i for 3 points.
 
-    Replaces cv2.getAffineTransform. src/dst: (..., 3, 2). Closed-form via
-    the 3x3 system inverse (batched, jit-friendly)."""
-    ones = jnp.ones(src.shape[:-1] + (1,), src.dtype)
-    A = jnp.concatenate([src, ones], axis=-1)  # (..., 3, 3) rows [x, y, 1]
-    # M^T = A^{-1} @ dst  (solve A @ M^T = dst)
-    mt = jnp.linalg.solve(A, dst)  # (..., 3, 2)
-    return jnp.swapaxes(mt, -1, -2)  # (..., 2, 3)
+    Replaces cv2.getAffineTransform. src/dst: (..., 3, 2). Closed form: with
+    edge vectors u = p1-p0, v = p2-p0 in src and U, V in dst, the linear
+    part is L = [U V] @ [u v]^{-1} (an explicit 2x2 inverse) and the
+    translation is t = dst0 - L @ src0. Elementwise math only — the batched
+    ``jnp.linalg.solve`` this replaces lowers to a LAPACK-style loop that
+    costs ~14 ms per batch on TPU."""
+    u = src[..., 1, :] - src[..., 0, :]  # (..., 2)
+    v = src[..., 2, :] - src[..., 0, :]
+    U = dst[..., 1, :] - dst[..., 0, :]
+    V = dst[..., 2, :] - dst[..., 0, :]
+    det = u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0]
+    inv_det = 1.0 / det
+    # [u v]^{-1} rows scaled by 1/det
+    a = v[..., 1] * inv_det
+    b = -v[..., 0] * inv_det
+    c = -u[..., 1] * inv_det
+    d = u[..., 0] * inv_det
+    # L = [U V] @ [[a, b], [c, d]]
+    l00 = U[..., 0] * a + V[..., 0] * c
+    l01 = U[..., 0] * b + V[..., 0] * d
+    l10 = U[..., 1] * a + V[..., 1] * c
+    l11 = U[..., 1] * b + V[..., 1] * d
+    t0 = dst[..., 0, 0] - (l00 * src[..., 0, 0] + l01 * src[..., 0, 1])
+    t1 = dst[..., 0, 1] - (l10 * src[..., 0, 0] + l11 * src[..., 0, 1])
+    row0 = jnp.stack([l00, l01, t0], axis=-1)
+    row1 = jnp.stack([l10, l11, t1], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)  # (..., 2, 3)
 
 
 def gen_trans(
@@ -88,6 +108,64 @@ def gen_trans(
     return _affine_from_3pts(src, dst)
 
 
+def gen_trans_np(
+    c_x, c_y, src_width, src_height, dst_width, dst_height, scale, rot_deg, inv=False
+) -> np.ndarray:
+    """Pure-numpy twin of ``gen_trans`` for host threads (calling the jnp
+    version from loader threads would dispatch to the accelerator). Same
+    3-point construction; parity pinned by tests."""
+    c_x, c_y, src_width, src_height, scale, rot_deg = np.broadcast_arrays(
+        *[np.asarray(a, np.float32) for a in (c_x, c_y, src_width, src_height, scale, rot_deg)]
+    )
+    src_w = src_width * scale
+    src_h = src_height * scale
+    rad = np.pi * rot_deg / 180.0
+    sn, cs = np.sin(rad), np.cos(rad)
+
+    def rot2d(vx, vy):
+        return np.stack([vx * cs - vy * sn, vx * sn + vy * cs], -1)
+
+    src_center = np.stack([c_x, c_y], -1)
+    src_down = rot2d(np.zeros_like(src_h), src_h * 0.5)
+    src_right = rot2d(src_w * 0.5, np.zeros_like(src_w))
+    shp = src_center.shape
+    dst_center = np.broadcast_to(
+        np.array([dst_width * 0.5, dst_height * 0.5], np.float32), shp
+    )
+    dst_down = np.broadcast_to(np.array([0.0, dst_height * 0.5], np.float32), shp)
+    dst_right = np.broadcast_to(np.array([dst_width * 0.5, 0.0], np.float32), shp)
+
+    src = np.stack([src_center, src_center + src_down, src_center + src_right], -2)
+    dst = np.stack([dst_center, dst_center + dst_down, dst_center + dst_right], -2)
+    if inv:
+        src, dst = dst, src
+
+    u = src[..., 1, :] - src[..., 0, :]
+    v = src[..., 2, :] - src[..., 0, :]
+    U = dst[..., 1, :] - dst[..., 0, :]
+    V = dst[..., 2, :] - dst[..., 0, :]
+    inv_det = 1.0 / (u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0])
+    a = v[..., 1] * inv_det
+    b = -v[..., 0] * inv_det
+    c = -u[..., 1] * inv_det
+    d = u[..., 0] * inv_det
+    l00 = U[..., 0] * a + V[..., 0] * c
+    l01 = U[..., 0] * b + V[..., 0] * d
+    l10 = U[..., 1] * a + V[..., 1] * c
+    l11 = U[..., 1] * b + V[..., 1] * d
+    t0 = dst[..., 0, 0] - (l00 * src[..., 0, 0] + l01 * src[..., 0, 1])
+    t1 = dst[..., 0, 1] - (l10 * src[..., 0, 0] + l11 * src[..., 0, 1])
+    return np.stack(
+        [np.stack([l00, l01, t0], -1), np.stack([l10, l11, t1], -1)], -2
+    ).astype(np.float32)
+
+
+def trans_point2d_np(pt: np.ndarray, trans: np.ndarray) -> np.ndarray:
+    """numpy twin of ``trans_point2d``: (..., 2) points through (..., 2, 3)."""
+    ones = np.ones(pt.shape[:-1] + (1,), pt.dtype)
+    return np.einsum("...ij,...j->...i", trans, np.concatenate([pt, ones], -1))
+
+
 def trans_point2d(pt: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:
     """Apply (..., 2, 3) affine to (..., 2) points. Reference:
     pose_utils.trans_point2d."""
@@ -123,35 +201,35 @@ def affine_warp_bilinear(
     src = jnp.einsum("bij,hwj->bhwi", inv_trans, grid)  # (B, oh, ow, 2)
     sx, sy = src[..., 0], src[..., 1]
 
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    fx = sx - x0
-    fy = sy - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    # One (2, 2, C) slice-gather per output pixel instead of four scalar
+    # taps — TPU gathers are latency-bound per start index, so halving the
+    # tap count is worth ~25%. Slice starts are clamped into bounds; the
+    # bilinear hat weight is then evaluated at each tap's ACTUAL gathered
+    # coordinate, so border taps (and fully-outside pixels) get weight 0
+    # automatically — exactly cv2's BORDER_CONSTANT-zero semantics.
+    x0i = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 2)
+    y0i = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 2)
 
-    def gather(yi, xi):
-        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        xi_c = jnp.clip(xi, 0, w - 1)
-        yi_c = jnp.clip(yi, 0, h - 1)
-        # (B, oh, ow, C) gather from (B, H, W, C): take_along_axis on the
-        # flattened spatial dim keeps this a single XLA gather per tap.
-        flat = imgs.reshape(b, h * w, c)
-        idx = (yi_c * w + xi_c).reshape(b, -1, 1)
-        vals = jnp.take_along_axis(flat, idx, axis=1).reshape(b, out_h, out_w, c)
-        return vals * valid[..., None].astype(jnp.float32)
+    def per_image(img, yi, xi):
+        starts = jnp.stack([yi.ravel(), xi.ravel()], axis=-1)  # (N, 2)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+        )
+        return jax.lax.gather(img, starts, dn, slice_sizes=(2, 2, c))
 
-    v00 = gather(y0i, x0i)
-    v01 = gather(y0i, x0i + 1)
-    v10 = gather(y0i + 1, x0i)
-    v11 = gather(y0i + 1, x0i + 1)
-    fx = fx[..., None]
-    fy = fy[..., None]
+    patches = jax.vmap(per_image)(imgs, y0i, x0i).reshape(b, out_h, out_w, 2, 2, c)
+
+    x0f = x0i.astype(jnp.float32)
+    y0f = y0i.astype(jnp.float32)
+    wx0 = jnp.maximum(0.0, 1.0 - jnp.abs(sx - x0f))[..., None]
+    wx1 = jnp.maximum(0.0, 1.0 - jnp.abs(sx - (x0f + 1.0)))[..., None]
+    wy0 = jnp.maximum(0.0, 1.0 - jnp.abs(sy - y0f))[..., None]
+    wy1 = jnp.maximum(0.0, 1.0 - jnp.abs(sy - (y0f + 1.0)))[..., None]
     return (
-        v00 * (1 - fx) * (1 - fy)
-        + v01 * fx * (1 - fy)
-        + v10 * (1 - fx) * fy
-        + v11 * fx * fy
+        patches[..., 0, 0, :] * (wy0 * wx0)
+        + patches[..., 0, 1, :] * (wy0 * wx1)
+        + patches[..., 1, 0, :] * (wy1 * wx0)
+        + patches[..., 1, 1, :] * (wy1 * wx1)
     )
 
 

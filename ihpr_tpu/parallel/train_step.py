@@ -28,7 +28,7 @@ import optax
 
 from ihpr_tpu.config import Config
 from ihpr_tpu.data import skeletons
-from ihpr_tpu.data.augment import make_patch_batch
+from ihpr_tpu.data.augment import PatchBatch, finalize_patch, make_patch_batch
 from ihpr_tpu.models.pose_net import PoseNet
 from ihpr_tpu.ops import joint_location_loss
 from ihpr_tpu.ops.integral_pallas import soft_argmax_from_heatmap
@@ -110,20 +110,28 @@ def make_train_step(
     depth_dim = cfg.data.depth_dim
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
-        aug_rng = jax.random.fold_in(rng, state.step)
-        patch = make_patch_batch(
-            batch["canvas"],
-            batch["canvas_origin"],
-            batch["canvas_scale"],
-            batch["bbox"],
-            batch["joints"],
-            batch["joint_vis"],
-            batch["joints_have_depth"],
-            flip_perm,
-            cfg.data,
-            rng=aug_rng,
-            train=True,
-        )
+        if "patch" in batch:  # native host-warp fast path (pipeline.py)
+            patch = PatchBatch(
+                image=finalize_patch(batch["patch"], batch["color_scale"], cfg.data),
+                joint_img=batch["joint_img"],
+                joint_vis=batch["joint_vis"],
+                joints_have_depth=batch["joints_have_depth"],
+            )
+        else:  # all-on-device warp path
+            aug_rng = jax.random.fold_in(rng, state.step)
+            patch = make_patch_batch(
+                batch["canvas"],
+                batch["canvas_origin"],
+                batch["canvas_scale"],
+                batch["bbox"],
+                batch["joints"],
+                batch["joint_vis"],
+                batch["joints_have_depth"],
+                flip_perm,
+                cfg.data,
+                rng=aug_rng,
+                train=True,
+            )
 
         def loss_fn(params):
             heatmap, updates = model.apply(
@@ -185,19 +193,27 @@ def make_eval_step(model: PoseNet, cfg: Config, mesh=None) -> Callable:
         return soft_argmax_from_heatmap(heatmap, joint_num, depth_dim)
 
     def eval_step(params, batch_stats, batch: dict):
-        patch = make_patch_batch(
-            batch["canvas"],
-            batch["canvas_origin"],
-            batch["canvas_scale"],
-            batch["bbox"],
-            batch["joints"],
-            batch["joint_vis"],
-            batch["joints_have_depth"],
-            flip_perm,
-            cfg.data,
-            rng=None,
-            train=False,
-        )
+        if "patch" in batch:  # native host-warp fast path
+            patch = PatchBatch(
+                image=finalize_patch(batch["patch"], batch["color_scale"], cfg.data),
+                joint_img=batch["joint_img"],
+                joint_vis=batch["joint_vis"],
+                joints_have_depth=batch["joints_have_depth"],
+            )
+        else:
+            patch = make_patch_batch(
+                batch["canvas"],
+                batch["canvas_origin"],
+                batch["canvas_scale"],
+                batch["bbox"],
+                batch["joints"],
+                batch["joint_vis"],
+                batch["joints_have_depth"],
+                flip_perm,
+                cfg.data,
+                rng=None,
+                train=False,
+            )
         coords = infer(params, batch_stats, patch.image)
         if cfg.eval.flip_test:
             flipped = patch.image[:, :, ::-1, :]

@@ -1,0 +1,122 @@
+"""Native host-warp library: cv2 parity + pipeline-path equivalence."""
+
+import cv2
+import numpy as np
+import pytest
+
+from ihpr_tpu.config import DataConfig, ModelConfig, OptimConfig, get_config
+from ihpr_tpu.data import native, skeletons
+from ihpr_tpu.data.datasets import PoseDataset, make_synthetic
+from ihpr_tpu.data.pipeline import BatchLoader, WarpedHostBatch
+from ihpr_tpu.data.warp import gen_trans, gen_trans_np
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native warp library unavailable"
+)
+
+
+def test_gen_trans_np_matches_jnp():
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        args = (
+            rng.uniform(50, 200),
+            rng.uniform(50, 200),
+            rng.uniform(80, 250),
+            rng.uniform(80, 250),
+            256,
+            256,
+            rng.uniform(0.8, 1.3),
+            rng.uniform(-45, 45),
+        )
+        for inv in (False, True):
+            np.testing.assert_allclose(
+                gen_trans_np(*args, inv=inv),
+                np.asarray(gen_trans(*args, inv=inv)),
+                rtol=1e-4,
+                atol=1e-3,
+            )
+
+
+@pytest.mark.parametrize("rot,flip", [(0.0, 0), (25.0, 0), (-40.0, 1)])
+def test_native_warp_matches_cv2(rot, flip):
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (200, 180, 3)).astype(np.uint8)
+    c_x, c_y, bw, bh = 90.0, 100.0, 120.0, 120.0
+    if flip:
+        src = img[:, ::-1]
+        c_x_m = img.shape[1] - 1.0 - c_x
+    else:
+        src = img
+        c_x_m = c_x
+    fwd = gen_trans_np(c_x_m, c_y, bw, bh, 64, 64, 1.0, rot)
+    ref = cv2.warpAffine(
+        np.ascontiguousarray(src), fwd, (64, 64), flags=cv2.INTER_LINEAR
+    ).astype(np.float32)
+
+    inv = gen_trans_np(c_x_m, c_y, bw, bh, 64, 64, 1.0, rot, inv=True)
+    ours = native.warp_batch([img], inv[None], np.asarray([flip]), 64, 64)[0].astype(
+        np.float32
+    )
+    diff = np.abs(ours[2:-2, 2:-2] - ref[2:-2, 2:-2])
+    # cv2 uses 5-bit fixed-point interp weights; we use float + round.
+    assert np.percentile(diff, 99) <= 2.0, diff.max()
+
+
+def test_host_warp_loader_matches_device_path_no_aug():
+    cfg = get_config("h36m3d_r50").replace(
+        model=ModelConfig(resnet_type=18),
+        data=DataConfig(trainset=("Human36M",), use_aug=False, depth_dim=16,
+                        input_shape=(64, 64), output_shape=(16, 16)),
+        optim=OptimConfig(batch_size_per_device=4),
+    )
+    skel = skeletons.H36M
+    ds = PoseDataset("Human36M", skel, make_synthetic(skel, 8, seed=3, img_size=200), True)
+    host = BatchLoader([ds], cfg, 4, train=True, num_workers=0, host_warp=True)
+    dev = BatchLoader([ds], cfg, 4, train=True, num_workers=0, host_warp=False)
+    hb = next(host.epoch(0))
+    db = next(dev.epoch(0))
+    assert isinstance(hb, WarpedHostBatch)
+
+    # joints computed by the two paths must agree
+    import jax.numpy as jnp
+
+    from ihpr_tpu.data.augment import make_patch_batch
+
+    patch = make_patch_batch(
+        jnp.asarray(db.canvas), jnp.asarray(db.canvas_origin),
+        jnp.asarray(db.canvas_scale), jnp.asarray(db.bbox),
+        jnp.asarray(db.joints), jnp.asarray(db.joint_vis),
+        jnp.asarray(db.joints_have_depth), skel.flip_permutation(),
+        cfg.data, rng=None, train=False,
+    )
+    np.testing.assert_allclose(hb.joint_img, np.asarray(patch.joint_img), atol=1e-2)
+    np.testing.assert_array_equal(hb.joint_vis, np.asarray(patch.joint_vis))
+
+    # warped pixels: host path warps from the ORIGINAL image, device path
+    # from the translation-only canvas -> identical samples up to uint8
+    # rounding (host) vs float (device).
+    img_dev = np.asarray(patch.image)
+    from ihpr_tpu.data.augment import finalize_patch
+
+    img_host = np.asarray(
+        finalize_patch(jnp.asarray(hb.patch), jnp.asarray(hb.color_scale), cfg.data)
+    )
+    diff = np.abs(img_host - img_dev)
+    assert np.percentile(diff, 99) < 0.05, diff.max()
+
+
+def test_host_warp_aug_determinism():
+    cfg = get_config("h36m3d_r50").replace(
+        data=DataConfig(trainset=("Human36M",), use_aug=True, depth_dim=16,
+                        input_shape=(64, 64), output_shape=(16, 16)),
+    )
+    skel = skeletons.H36M
+    ds = PoseDataset("Human36M", skel, make_synthetic(skel, 8, seed=4, img_size=200), True)
+    l1 = BatchLoader([ds], cfg, 4, train=True, num_workers=0, host_warp=True, seed=7)
+    l2 = BatchLoader([ds], cfg, 4, train=True, num_workers=0, host_warp=True, seed=7)
+    b1, b2 = next(l1.epoch(3)), next(l2.epoch(3))
+    np.testing.assert_array_equal(b1.patch, b2.patch)
+    np.testing.assert_array_equal(b1.joint_img, b2.joint_img)
+    # different epoch -> different augmentation
+    b3 = next(l1.epoch(4))
+    assert not np.array_equal(b1.patch, b3.patch)

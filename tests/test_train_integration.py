@@ -91,7 +91,8 @@ def test_dp8_matches_single_device_gradient(tiny_cfg, tiny_data):
     additionally checked at 1e-5."""
     assert jax.device_count() >= 8
     cfg = tiny_cfg
-    loader = BatchLoader([tiny_data], cfg, 8, train=True, num_workers=0)
+    # device-warp path: the custom loss below consumes raw canvases
+    loader = BatchLoader([tiny_data], cfg, 8, train=True, num_workers=0, host_warp=False)
     hb = next(loader.epoch(0))
 
     mesh8 = make_mesh(8)
