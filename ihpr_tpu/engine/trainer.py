@@ -92,7 +92,16 @@ class Trainer:
         self.state = self.state.replace(params=params, batch_stats=stats)
         self.logger.info(f"loaded pretrained backbone from {msgpack_path}")
 
-    def train(self, end_epoch: Optional[int] = None):
+    def train(
+        self,
+        end_epoch: Optional[int] = None,
+        profile_dir: Optional[str] = None,
+        profile_steps: tuple = (20, 25),
+    ):
+        """Epoch loop. ``profile_dir`` captures a jax.profiler trace over
+        steps [profile_steps) of the first epoch (SURVEY.md §5 tracing —
+        replaces the reference's three host Timers with a real device
+        profile viewable in XProf/TensorBoard)."""
         cfg = self.cfg
         end_epoch = end_epoch or cfg.optim.end_epoch
         n_dev = self.mesh.devices.size
@@ -113,6 +122,13 @@ class Trainer:
             window_start = _time.perf_counter()
             window_steps = 0
             for itr, (batch, _) in enumerate(it):
+                if profile_dir and epoch == self.start_epoch:
+                    if itr == profile_steps[0]:
+                        jax.profiler.start_trace(profile_dir)
+                    elif itr == profile_steps[1]:
+                        jax.block_until_ready(self.state.params)
+                        jax.profiler.stop_trace()
+                        self.logger.info(f"profile written to {profile_dir}")
                 self.state, metrics = self.step_fn(self.state, batch, epoch_rng)
                 window_steps += 1
                 if itr % log_every == 0 or itr == self.steps_per_epoch - 1:

@@ -1,0 +1,106 @@
+"""Serving path + visualization + large-config shape coverage."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ihpr_tpu.config import DataConfig, ModelConfig, get_config
+from ihpr_tpu.data import skeletons
+from ihpr_tpu.engine.server import PoseServer
+from ihpr_tpu.models.pose_net import build_pose_net, init_pose_net
+from ihpr_tpu.utils import vis
+
+
+@pytest.fixture(scope="module")
+def tiny_server():
+    cfg = get_config("h36m3d_r50").replace(
+        model=ModelConfig(resnet_type=18),
+        data=DataConfig(
+            trainset=("Human36M",),
+            testset="Human36M",
+            input_shape=(64, 64),
+            output_shape=(16, 16),
+            depth_dim=16,
+        ),
+    )
+    model = build_pose_net(cfg)
+    params, bstats = init_pose_net(model, jax.random.key(0), (64, 64))
+    return PoseServer(cfg, params, bstats, max_batch=4)
+
+
+def test_server_predict_patches_any_n(tiny_server):
+    patches = np.random.RandomState(0).randint(0, 255, (6, 64, 64, 3)).astype(np.uint8)
+    out = tiny_server.predict_patches(patches)
+    assert out.shape == (6, 18, 3)
+    assert np.isfinite(out).all()
+    # chunked execution must equal single-shot per item
+    out2 = tiny_server.predict_patches(patches[:1])
+    np.testing.assert_allclose(out[0], out2[0], atol=1e-5)
+
+
+def test_server_full_path_original_images(tiny_server):
+    rng = np.random.RandomState(1)
+    images = [rng.randint(0, 255, (200, 180, 3)).astype(np.uint8) for _ in range(3)]
+    bboxes = np.array([[40, 40, 100, 120]] * 3, np.float32)
+    results = tiny_server.predict(images, bboxes, root_z=np.full(3, 4000.0))
+    assert len(results) == 3
+    for r in results:
+        assert r.coords_img.shape == (18, 3)
+        assert np.isfinite(r.coords_img).all()
+        # x, y land inside (or near) the original image
+        assert (-50 <= r.coords_img[:, 0]).all() and (r.coords_img[:, 0] < 250).all()
+
+
+def test_vis_keypoints_and_grid(tmp_path):
+    skel = skeletons.H36M
+    img = np.zeros((64, 64, 3), np.uint8)
+    xy = np.random.RandomState(2).uniform(5, 59, (18, 2))
+    out = vis.vis_keypoints(img, xy, skel)
+    assert out.shape == img.shape and out.sum() > 0
+    fig = vis.vis_3d_skeleton(
+        np.concatenate([xy, np.zeros((18, 1))], 1), skel,
+        save_path=str(tmp_path / "skel.png"),
+    )
+    assert (tmp_path / "skel.png").exists()
+    imgs = np.zeros((4, 64, 64, 3), np.float32)
+    grid = vis.save_debug_grid(
+        imgs, np.tile(xy[None], (4, 1, 1)), skel, str(tmp_path / "grid.png"),
+        (0.485, 0.456, 0.406), (0.229, 0.224, 0.225),
+    )
+    assert (tmp_path / "grid.png").exists()
+
+
+def test_r152_384_config_shapes():
+    """BASELINE config #4: ResNet-152 @ 288x384 emits 96x72 heatmaps and the
+    fused kernel has a legal tiling for the 6912-row plane (eval_shape only —
+    no CPU conv time)."""
+    cfg = get_config("h36m3d_r152_384")
+    assert cfg.model.compute_dtype == "bfloat16"
+    model = build_pose_net(cfg)
+    dummy = jnp.zeros((1, 384, 288, 3), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), dummy, train=False)
+    )
+    hm_shape = jax.eval_shape(
+        lambda v: model.apply(v, dummy, train=False), shapes
+    )
+    assert hm_shape.shape == (1, 96, 72, 18 * 64)
+
+    from ihpr_tpu.ops.integral_pallas import _chunk_rows, _supported
+
+    assert _supported(18, 64)
+    chunk = _chunk_rows(96 * 72, 18 * 64)
+    assert (96 * 72) % chunk == 0 and chunk % 8 == 0
+
+
+def test_all_five_baseline_configs_construct():
+    from ihpr_tpu.config import CONFIGS
+
+    for name in ["parity_r50", "mpii2d_r50", "h36m3d_r50", "h36m3d_r152_384", "h36m3d_r50_dp"]:
+        cfg = CONFIGS[name]
+        model = build_pose_net(cfg)
+        h, w = cfg.data.input_shape
+        dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+        out = jax.eval_shape(lambda m=model, d=dummy: m.init(jax.random.key(0), d, train=False))
+        assert "params" in out

@@ -28,7 +28,18 @@ def main():
     ap.add_argument("--pretrained", default=None, help="converted backbone .msgpack")
     ap.add_argument("--num_workers", type=int, default=8)
     ap.add_argument("--output_dir", default=None)
+    ap.add_argument("--profile_dir", default=None, help="capture a jax.profiler trace")
+    ap.add_argument(
+        "--multihost",
+        action="store_true",
+        help="call jax.distributed.initialize() for multi-host DCN training",
+    )
     args = ap.parse_args()
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
 
     from ihpr_tpu.config import get_config
     from ihpr_tpu.engine.trainer import Trainer
@@ -59,7 +70,7 @@ def main():
                 yield b
 
         trainer.loader.epoch = capped
-    trainer.train(args.end_epoch)
+    trainer.train(args.end_epoch, profile_dir=args.profile_dir)
 
 
 if __name__ == "__main__":
