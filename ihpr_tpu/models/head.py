@@ -18,9 +18,57 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ihpr_tpu.models.resnet import _BN
+
+
+class SubpixelConvTranspose(nn.Module):
+    """ConvTranspose(k4, s2, 'SAME') computed as 4 phase convs + pixel
+    shuffle — numerically IDENTICAL to flax ``nn.ConvTranspose`` with the
+    same ``kernel`` parameter (phase kernel (py, px) is the strided slice
+    ``w[py::2, px::2]``).
+
+    Standalone microbenchmarks show ~9x over a lone ConvTranspose grad,
+    but inside the full jitted train step XLA already performs this
+    decomposition and the manual pixel shuffle only adds relayouts
+    (28.5 -> 30.5 ms/step measured), so DeconvHead uses nn.ConvTranspose.
+    Kept as a drop-in (param-compatible) alternative and as executable
+    documentation of the lowering.
+    """
+
+    features: int
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, cin = x.shape
+        kernel = self.param(
+            "kernel", self.kernel_init, (4, 4, cin, self.features), jnp.float32
+        )
+        k = kernel.astype(self.dtype)
+        # (2, 2, Cin, 4F): output-channel groups ordered (py, px)
+        kphase = jnp.concatenate(
+            [k[py::2, px::2] for py in (0, 1) for px in (0, 1)], axis=-1
+        )
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            xp,
+            kphase,
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, h+1, w+1, 4F)
+        f = self.features
+        ee = y[:, 0:h, 0:w, 0:f]
+        eo = y[:, 0:h, 1 : w + 1, f : 2 * f]
+        oe = y[:, 1 : h + 1, 0:w, 2 * f : 3 * f]
+        oo = y[:, 1 : h + 1, 1 : w + 1, 3 * f :]
+        even = jnp.stack([ee, eo], axis=3).reshape(b, h, 2 * w, f)
+        odd = jnp.stack([oe, oo], axis=3).reshape(b, h, 2 * w, f)
+        return jnp.stack([even, odd], axis=2).reshape(b, 2 * h, 2 * w, f)
 
 
 class DeconvHead(nn.Module):
@@ -35,6 +83,10 @@ class DeconvHead(nn.Module):
         init = nn.initializers.normal(stddev=self.init_std)
         x = x.astype(self.compute_dtype)
         for i in range(self.num_layers):
+            # Measured in situ on v5e: XLA already phase-decomposes the
+            # transposed conv inside the full train program (28.5 ms/step vs
+            # 30.5 with the manual SubpixelConvTranspose below, whose pixel
+            # shuffle costs extra relayouts).
             x = nn.ConvTranspose(
                 self.features,
                 (4, 4),

@@ -107,50 +107,53 @@ def _segment_matrix(joint_num: int, depth_dim: int) -> np.ndarray:
     return s
 
 
-def _row_coords(ci, chunk, w):
-    """(chunk, 1) x/y coordinate columns for chunk ci (they depend only on
-    the row index of the HW plane)."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + ci * chunk
-    return (row % w).astype(jnp.float32), (row // w).astype(jnp.float32)
-
-
 def _fwd_kernel(v_ref, seg_ref, vout_ref, m_ref, macc_ref, acc_ref, *, d, w, chunk):
     """Grid (B, HW/chunk); streams chunks of one sample's (HW, J*D) plane.
 
-    Full-block VPU work per chunk: 1 max-reduce, 1 exp, 2 muls, 3 axis-0
-    sums. Everything per-joint rides a (4, J*D) @ (J*D, 128) MXU matmul.
-    Scratch: acc (8, 128) VMEM rows [s, sx, sy, sz]; macc SMEM running max.
+    MXU-factored moments: only TWO full-block VPU passes touch the
+    (chunk, J*D) plane — the max-reduce and the exp. The x/y/sum moments
+    ride one (3, chunk) @ (chunk, J*D) matmul (rows [1, x(r), y(r)]) and
+    per-joint segment sums ride a (4, J*D) @ (J*D, 128) matmul; both are
+    microscopic FLOP counts for the MXU. Scratch: acc (8, 128) VMEM rows
+    [s, sx, sy, sz]; macc SMEM running max (shared stabilizer — see module
+    docstring).
     """
     ci = pl.program_id(1)
     nc = pl.num_programs(1)
     v = v_ref[0].astype(jnp.float32)  # (chunk, J*D)
     jd = v.shape[1]
-    x_col, y_col = _row_coords(ci, chunk, w)
 
-    m_c = jnp.max(v)  # shared stabilizer (see module docstring)
+    m_c = jnp.max(v)
     m_old = jnp.where(ci == 0, _NEG_INF, macc_ref[0])
     m_new = jnp.maximum(m_old, m_c)
     scale = jnp.exp(m_old - m_new)  # exp(-inf) = 0 on the first chunk
     macc_ref[0] = m_new
 
     e = jnp.exp(v - m_new)  # (chunk, J*D)
-    colsum_e = jnp.sum(e, axis=0, keepdims=True)  # (1, J*D)
-    colsum_ex = jnp.sum(e * x_col, axis=0, keepdims=True)
-    colsum_ey = jnp.sum(e * y_col, axis=0, keepdims=True)
-    z_row = (jax.lax.broadcasted_iota(jnp.int32, (1, jd), 1) % d).astype(jnp.float32)
-    colsum_ez = colsum_e * z_row  # z depends only on the lane
 
+    # W3 rows: [1, x(r), y(r)] for global row r = ci*chunk + col.
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 1) + ci * chunk
+    x_ids = (col % w).astype(jnp.float32)
+    y_ids = (col // w).astype(jnp.float32)
+    w3 = jnp.where(ridx == 0, 1.0, jnp.where(ridx == 1, x_ids, y_ids))
+    w3 = jnp.where(ridx >= 3, 0.0, w3)  # (8, chunk), rows 3..7 zero
+
+    # HIGHEST precision everywhere on the MXU: v5e multiplies bf16
+    # natively; without it these contractions quantize to ~1e-2.
+    a = jnp.dot(
+        w3, e, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (8, J*D): rows [sum_e, sum_ex, sum_ey, 0...]
+    z_row = (jax.lax.broadcasted_iota(jnp.int32, (1, jd), 1) % d).astype(jnp.float32)
     stacked = jnp.concatenate(
-        [colsum_e, colsum_ex, colsum_ey, colsum_ez], axis=0
-    )  # (4, J*D)
-    # HIGHEST precision: the v5e MXU natively multiplies bf16 — without it
-    # this 0/1 matmul quantizes the sums to ~1e-2 relative error.
+        [a[0:3], a[0:1] * z_row], axis=0
+    )  # (4, J*D): [e, ex, ey, ez]
     sums = jnp.dot(
-        stacked,
-        seg_ref[...],
+        stacked, seg_ref[...],
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )
+    )  # (4, 128) per-joint
 
     acc_old = acc_ref[0:4]  # garbage on ci==0, discarded by the where
     acc_new = jnp.where(ci == 0, sums, acc_old * scale + sums)
@@ -166,14 +169,31 @@ def _fwd_kernel(v_ref, seg_ref, vout_ref, m_ref, macc_ref, acc_ref, *, d, w, chu
 
 
 def _bwd_kernel(v_ref, rows_ref, dv_ref, *, w, chunk):
-    """dv = exp(v - m) * inv_s * (gx*x + gy*y + bias); all per-joint values
-    pre-folded into (1, J*D) lane-rows outside the kernel. ~6 VPU passes."""
+    """dv = exp(v - m) * inv_s * (gx*x + gy*y + bias). Per-joint constants
+    are pre-folded into (5, J*D) lane-rows outside the kernel; the rank-3
+    term gx*x + gy*y + bias is one (chunk, 3) @ (3, J*D) MXU matmul, so
+    only ~3 full-block VPU passes remain (exp + two muls)."""
     ci = pl.program_id(1)
     v = v_ref[0].astype(jnp.float32)
     rows = rows_ref[0]  # (5, J*D): m, inv_s, gx, gy, bias
-    x_col, y_col = _row_coords(ci, chunk, w)
     p = jnp.exp(v - rows[0:1]) * rows[1:2]
-    term = rows[2:3] * x_col + rows[3:4] * y_col + rows[4:5]
+
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (chunk, 8), 1)
+    r_glob = (
+        jax.lax.broadcasted_iota(jnp.int32, (chunk, 8), 0) + ci * chunk
+    )
+    x_ids = (r_glob % w).astype(jnp.float32)
+    y_ids = (r_glob // w).astype(jnp.float32)
+    wc = jnp.where(
+        cidx == 0, x_ids, jnp.where(cidx == 1, y_ids, jnp.where(cidx == 2, 1.0, 0.0))
+    )  # (chunk, 8), cols [x, y, 1, 0...]
+    g8 = jnp.concatenate(
+        [rows[2:5], jnp.zeros((5, rows.shape[1]), jnp.float32)], axis=0
+    )  # (8, J*D)
+    term = jnp.dot(
+        wc, g8, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (chunk, J*D)
     dv_ref[0] = (p * term).astype(dv_ref.dtype)
 
 

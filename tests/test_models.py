@@ -94,3 +94,21 @@ def test_bf16_compute_dtype_fp32_logits():
     assert hm.dtype == jnp.float32  # head casts logits back to fp32
     # params remain fp32 master copies
     assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(vars_["params"]))
+
+
+def test_subpixel_deconv_matches_convtranspose():
+    """SubpixelConvTranspose must be bit-equivalent to nn.ConvTranspose
+    (same 'kernel' param) — it exists purely as a faster lowering."""
+    import flax.linen as nn
+
+    from ihpr_tpu.models.head import SubpixelConvTranspose
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 7, 5, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(4, 4, 3, 6).astype(np.float32))
+    ref = nn.ConvTranspose(6, (4, 4), strides=(2, 2), padding="SAME", use_bias=False)
+    ours = SubpixelConvTranspose(6)
+    y_ref = ref.apply({"params": {"kernel": w}}, x)
+    y_ours = ours.apply({"params": {"kernel": w}}, x)
+    assert y_ours.shape == y_ref.shape == (2, 14, 10, 6)
+    np.testing.assert_allclose(np.asarray(y_ours), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
