@@ -224,111 +224,113 @@ class BatchLoader:
 
     # ---- native host-warp fast path -------------------------------------
 
-    def _sample_aug_np(self, rng: np.random.RandomState):
-        """numpy twin of augment.sample_aug_params (reference
-        data/dataset.py:get_aug_config) for one sample."""
-        d = self.cfg.data
-        if not (self.train and d.use_aug):
-            return 1.0, 0.0, False, np.ones(3, np.float32)
-        scale = 1.0 + d.scale_factor * float(np.clip(rng.randn(), -1.0, 1.0))
-        rot = (
-            2.0 * d.rot_factor * float(np.clip(rng.randn(), -2.0, 2.0))
-            if rng.rand() <= d.rot_prob
-            else 0.0
-        )
-        do_flip = bool(rng.rand() <= d.flip_prob)
-        color = rng.uniform(1.0 - d.color_factor, 1.0 + d.color_factor, 3).astype(
-            np.float32
-        )
-        return scale, rot, do_flip, color
-
     def _load_entry_image(self, entry):
         di, si, _ = entry
         return _load_image(self.datasets[di].samples[si])
 
     def _epoch_host_warp(self, epoch_idx: int) -> Iterator[WarpedHostBatch]:
+        """Fully batch-vectorized host path: the only per-sample Python work
+        is image decode (thread pool) and the OpenMP C++ warp; augmentation
+        sampling, affine construction, and joint transforms run as single
+        numpy batch expressions (per-sample loops cost ~100 ms/batch and
+        made the host the bottleneck at 4x device speed)."""
         from ihpr_tpu.data import native
-        from ihpr_tpu.data.warp import gen_trans_np, trans_point2d_np
+        from ihpr_tpu.data.warp import gen_trans_np
 
         d = self.cfg.data
         in_h, in_w = d.input_shape
         out_h, out_w = d.output_shape
         perm = self.primary.flip_permutation()
+        jnum = self.primary.joint_num
+
+        # Pre-unify joints/vis/depth-flag once per epoch (cheap, reusable).
+        if not hasattr(self, "_unified"):
+            all_joints, all_vis, all_hd = [], [], []
+            for di, si, _bbox in self.index:
+                ds = self.datasets[di]
+                s = ds.samples[si]
+                j, v = s["joint_img"], s["joint_vis"]
+                if ds.skeleton.name != self.primary.name:
+                    j = skeletons.transform_joint_to_other_db(j, ds.skeleton, self.primary)
+                    v = skeletons.transform_joint_to_other_db(
+                        v[:, None], ds.skeleton, self.primary
+                    )[:, 0]
+                all_joints.append(j)
+                all_vis.append(v)
+                all_hd.append(float(ds.skeleton.has_depth))
+            self._unified = (
+                np.stack(all_joints).astype(np.float32),
+                np.stack(all_vis).astype(np.float32),
+                np.asarray(all_hd, np.float32),
+                np.stack([e[2] for e in self.index]).astype(np.float32),  # bboxes
+            )
+        u_joints, u_vis, u_hd, u_bbox = self._unified
+
         for bi, sel in enumerate(self._batch_selection(epoch_idx)):
             entries = [self.index[i] for i in sel]
             if self._pool is not None:
                 images = list(self._pool.map(self._load_entry_image, entries))
             else:
                 images = [self._load_entry_image(e) for e in entries]
-
             b = len(entries)
-            invs = np.empty((b, 2, 3), np.float32)
-            fwds = np.empty((b, 2, 3), np.float32)
-            flips = np.zeros(b, np.int32)
-            colors = np.empty((b, 3), np.float32)
-            scales = np.empty(b, np.float32)
-            rots = np.empty(b, np.float32)
-            for k, (entry, img) in enumerate(zip(entries, images)):
-                rng = np.random.RandomState(
-                    (self.seed * 1000003 + epoch_idx * 131071 + int(sel[k])) % (2**31)
-                )
-                scale, rot, do_flip, color = self._sample_aug_np(rng)
-                di, si, bbox = entry
-                w_img = img.shape[1]
-                c_x = bbox[0] + bbox[2] * 0.5
-                c_y = bbox[1] + bbox[3] * 0.5
-                if do_flip:  # reference: flip image, mirror bbox center
-                    c_x = w_img - 1.0 - c_x
-                invs[k] = gen_trans_np(c_x, c_y, bbox[2], bbox[3], in_w, in_h, scale, rot, inv=True)
-                fwds[k] = gen_trans_np(c_x, c_y, bbox[2], bbox[3], in_w, in_h, scale, rot)
-                flips[k] = int(do_flip)
-                colors[k] = color
-                scales[k], rots[k] = scale, rot
+            img_w = np.asarray([im.shape[1] for im in images], np.float32)
+
+            # --- batched aug sampling (reference get_aug_config dists) ---
+            rng = np.random.RandomState(
+                (self.seed * 1000003 + epoch_idx * 131071 + bi) % (2**31)
+            )
+            if self.train and d.use_aug:
+                scale = 1.0 + d.scale_factor * np.clip(rng.randn(b), -1, 1)
+                rot = 2.0 * d.rot_factor * np.clip(rng.randn(b), -2, 2)
+                rot = np.where(rng.rand(b) <= d.rot_prob, rot, 0.0)
+                flips = (rng.rand(b) <= d.flip_prob).astype(np.int32)
+                colors = rng.uniform(
+                    1 - d.color_factor, 1 + d.color_factor, (b, 3)
+                ).astype(np.float32)
+            else:
+                scale = np.ones(b)
+                rot = np.zeros(b)
+                flips = np.zeros(b, np.int32)
+                colors = np.ones((b, 3), np.float32)
+
+            bbox = u_bbox[sel]
+            c_x = bbox[:, 0] + bbox[:, 2] * 0.5
+            c_y = bbox[:, 1] + bbox[:, 3] * 0.5
+            c_x = np.where(flips, img_w - 1.0 - c_x, c_x)  # reference flip
+            invs = gen_trans_np(c_x, c_y, bbox[:, 2], bbox[:, 3], in_w, in_h, scale, rot, inv=True)
+            fwds = gen_trans_np(c_x, c_y, bbox[:, 2], bbox[:, 3], in_w, in_h, scale, rot)
 
             patches = native.warp_batch(images, invs, flips, in_h, in_w)
 
-            joint_img = np.empty((b, self.primary.joint_num, 3), np.float32)
-            joint_vis = np.empty((b, self.primary.joint_num), np.float32)
-            hd = np.empty(b, np.float32)
-            for k, (entry, img) in enumerate(zip(entries, images)):
-                di, si, bbox = entry
-                ds = self.datasets[di]
-                sample = ds.samples[si]
-                joints = sample["joint_img"]
-                vis = sample["joint_vis"]
-                if ds.skeleton.name != self.primary.name:
-                    joints = skeletons.transform_joint_to_other_db(
-                        joints, ds.skeleton, self.primary
-                    )
-                    vis = skeletons.transform_joint_to_other_db(
-                        vis[:, None], ds.skeleton, self.primary
-                    )[:, 0]
-                xy = joints[:, :2].copy()
-                z = joints[:, 2].copy()
-                if flips[k]:
-                    xy[:, 0] = img.shape[1] - 1.0 - xy[:, 0]
-                    xy = xy[perm]
-                    z = z[perm]
-                    vis = vis[perm]
-                xy_patch = trans_point2d_np(xy, fwds[k])
-                x_hm = xy_patch[:, 0] / in_w * out_w
-                y_hm = xy_patch[:, 1] / in_h * out_h
-                z_hm = z / (d.bbox_3d_shape[0] / 2.0) * (d.depth_dim / 2.0) + d.depth_dim / 2.0
-                inside = (
-                    (x_hm >= 0) & (x_hm < out_w)
-                    & (y_hm >= 0) & (y_hm < out_h)
-                    & (z_hm >= 0) & (z_hm < d.depth_dim)
-                )
-                joint_img[k] = np.stack([x_hm, y_hm, z_hm], -1)
-                joint_vis[k] = vis * inside.astype(np.float32)
-                hd[k] = float(ds.skeleton.has_depth)
-
+            # --- batched joint transform ---
+            joints = u_joints[sel]  # (b, J, 3)
+            vis = u_vis[sel]
+            fl = flips.astype(bool)
+            xy = joints[:, :, :2].copy()
+            z = joints[:, :, 2].copy()
+            xy[fl, :, 0] = img_w[fl, None] - 1.0 - xy[fl, :, 0]
+            xy[fl] = xy[fl][:, perm]
+            z[fl] = z[fl][:, perm]
+            vis = vis.copy()
+            vis[fl] = vis[fl][:, perm]
+            ones = np.ones((b, jnum, 1), np.float32)
+            xy_patch = np.einsum(
+                "bij,bkj->bki", fwds, np.concatenate([xy, ones], -1)
+            )
+            x_hm = xy_patch[:, :, 0] / in_w * out_w
+            y_hm = xy_patch[:, :, 1] / in_h * out_h
+            z_hm = z / (d.bbox_3d_shape[0] / 2.0) * (d.depth_dim / 2.0) + d.depth_dim / 2.0
+            inside = (
+                (x_hm >= 0) & (x_hm < out_w)
+                & (y_hm >= 0) & (y_hm < out_h)
+                & (z_hm >= 0) & (z_hm < d.depth_dim)
+            )
             yield WarpedHostBatch(
                 patch=patches,
                 color_scale=colors,
-                joint_img=joint_img,
-                joint_vis=joint_vis,
-                joints_have_depth=hd,
+                joint_img=np.stack([x_hm, y_hm, z_hm], -1).astype(np.float32),
+                joint_vis=(vis * inside).astype(np.float32),
+                joints_have_depth=u_hd[sel],
                 sample_idx=np.asarray([self.index[i][1] for i in sel], np.int64),
             )
 

@@ -49,14 +49,16 @@ void invert_affine(const float* m, float* out) {
 void warp_affine_u8(const uint8_t* src, int sh, int sw, int ch,
                     const float* inv, int flip, uint8_t* dst, int oh,
                     int ow) {
+  // Source coordinates advance linearly along an output row; flip folds
+  // into the x stepping (sx' = (sw-1) - sx).
+  const float step_x = flip ? -inv[0] : inv[0];
+  const float step_y = inv[3];
   for (int y = 0; y < oh; ++y) {
-    const float base_x = inv[1] * y + inv[2];
-    const float base_y = inv[4] * y + inv[5];
+    float sx = inv[1] * y + inv[2];
+    if (flip) sx = (float)(sw - 1) - sx;
+    float sy = inv[4] * y + inv[5];
     uint8_t* drow = dst + (size_t)y * ow * ch;
-    for (int x = 0; x < ow; ++x) {
-      float sx = inv[0] * x + base_x;
-      float sy = inv[3] * x + base_y;
-      if (flip) sx = (float)(sw - 1) - sx;
+    for (int x = 0; x < ow; ++x, sx += step_x, sy += step_y) {
       const float fx0 = std::floor(sx);
       const float fy0 = std::floor(sy);
       const int x0 = (int)fx0;
@@ -67,19 +69,39 @@ void warp_affine_u8(const uint8_t* src, int sh, int sw, int ch,
       const float w01 = ax * (1 - ay);
       const float w10 = (1 - ax) * ay;
       const float w11 = ax * ay;
-      const bool vx0 = (unsigned)x0 < (unsigned)sw;
-      const bool vx1 = (unsigned)(x0 + 1) < (unsigned)sw;
-      const bool vy0 = (unsigned)y0 < (unsigned)sh;
-      const bool vy1 = (unsigned)(y0 + 1) < (unsigned)sh;
       const uint8_t* r0 = src + (size_t)y0 * sw * ch;
       const uint8_t* r1 = r0 + (size_t)sw * ch;
-      for (int k = 0; k < ch; ++k) {
-        float acc = 0.f;
-        if (vy0 && vx0) acc += w00 * r0[x0 * ch + k];
-        if (vy0 && vx1) acc += w01 * r0[(x0 + 1) * ch + k];
-        if (vy1 && vx0) acc += w10 * r1[x0 * ch + k];
-        if (vy1 && vx1) acc += w11 * r1[(x0 + 1) * ch + k];
-        drow[x * ch + k] = (uint8_t)(acc + 0.5f);
+      if ((unsigned)x0 < (unsigned)(sw - 1) && (unsigned)y0 < (unsigned)(sh - 1)) {
+        // interior fast path: whole 2x2 window in-bounds, channels unrolled
+        const uint8_t* p00 = r0 + (size_t)x0 * ch;
+        const uint8_t* p10 = r1 + (size_t)x0 * ch;
+        if (ch == 3) {
+          drow[x * 3 + 0] = (uint8_t)(w00 * p00[0] + w01 * p00[3] +
+                                      w10 * p10[0] + w11 * p10[3] + 0.5f);
+          drow[x * 3 + 1] = (uint8_t)(w00 * p00[1] + w01 * p00[4] +
+                                      w10 * p10[1] + w11 * p10[4] + 0.5f);
+          drow[x * 3 + 2] = (uint8_t)(w00 * p00[2] + w01 * p00[5] +
+                                      w10 * p10[2] + w11 * p10[5] + 0.5f);
+        } else {
+          for (int k = 0; k < ch; ++k) {
+            drow[x * ch + k] = (uint8_t)(w00 * p00[k] + w01 * p00[ch + k] +
+                                         w10 * p10[k] + w11 * p10[ch + k] +
+                                         0.5f);
+          }
+        }
+      } else {
+        const bool vx0 = (unsigned)x0 < (unsigned)sw;
+        const bool vx1 = (unsigned)(x0 + 1) < (unsigned)sw;
+        const bool vy0 = (unsigned)y0 < (unsigned)sh;
+        const bool vy1 = (unsigned)(y0 + 1) < (unsigned)sh;
+        for (int k = 0; k < ch; ++k) {
+          float acc = 0.f;
+          if (vy0 && vx0) acc += w00 * r0[x0 * ch + k];
+          if (vy0 && vx1) acc += w01 * r0[(x0 + 1) * ch + k];
+          if (vy1 && vx0) acc += w10 * r1[x0 * ch + k];
+          if (vy1 && vx1) acc += w11 * r1[(x0 + 1) * ch + k];
+          drow[x * ch + k] = (uint8_t)(acc + 0.5f);
+        }
       }
     }
   }
