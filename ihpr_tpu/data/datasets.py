@@ -357,6 +357,7 @@ def render_synthetic_image(sample: dict, sigma: float = 4.0) -> np.ndarray:
     h, w = sample["img_shape"]
     img = np.zeros((h, w, 3), np.float32)
     joints = sample["joint_img"]
+    n = len(joints)
     r = int(4 * sigma)
     for j, (x, y, _z) in enumerate(joints):
         xi, yi = int(round(x)), int(round(y))
@@ -367,7 +368,14 @@ def render_synthetic_image(sample: dict, sigma: float = 4.0) -> np.ndarray:
         ys = np.arange(y0, y1, dtype=np.float32)[:, None]
         xs = np.arange(x0, x1, dtype=np.float32)[None, :]
         blob = np.exp(-((xs - x) ** 2 + (ys - y) ** 2) / (2 * sigma**2))
-        img[y0:y1, x0:x1, j % 3] += blob * (120 + 120 * ((j // 3) % 2))
+        # Unique RGB signature per joint (hue around the color wheel) so
+        # every joint is identifiable — intensity-only coding left joints
+        # ambiguous and capped what a model could learn from this data.
+        ang = 2 * np.pi * j / max(n, 1)
+        rgb = 128 + 120 * np.array(
+            [np.cos(ang), np.cos(ang - 2 * np.pi / 3), np.cos(ang + 2 * np.pi / 3)]
+        )
+        img[y0:y1, x0:x1] += blob[..., None] * rgb
     return np.clip(img, 0, 255).astype(np.uint8)
 
 

@@ -28,15 +28,23 @@ class CheckpointManager:
         return os.path.join(self.dump_dir, f"snapshot_{epoch}")
 
     def save(self, epoch: int, state: Any, rng: jax.Array):
+        """Asynchronous: serialization happens in the background (a full
+        snapshot takes ~70s of host IO on a 1-core host — blocking per epoch
+        would dwarf the step time). The previous save is drained first;
+        call ``wait()`` before process exit."""
+        self._ckpt.wait_until_finished()  # at most one save in flight
         payload = {
             "state": jax.device_get(state),
             "rng": np.asarray(jax.random.key_data(rng)),
             "epoch": np.asarray(epoch, np.int32),
         }
         self._ckpt.save(self._path(epoch), payload, force=True)
+
+    def wait(self):
         self._ckpt.wait_until_finished()
 
     def latest_epoch(self) -> Optional[int]:
+        self._ckpt.wait_until_finished()  # make in-flight saves visible
         epochs = [
             int(m.group(1))
             for name in os.listdir(self.dump_dir)
@@ -46,6 +54,7 @@ class CheckpointManager:
         return max(epochs) if epochs else None
 
     def load(self, epoch: int, template: Any, rng_template: jax.Array) -> Tuple[Any, jax.Array, int]:
+        self._ckpt.wait_until_finished()
         payload = self._ckpt.restore(
             self._path(epoch),
             {

@@ -91,7 +91,7 @@ class Tester:
         assert seen.all()
         return out
 
-    def evaluate(self) -> Dict[str, float]:
+    def evaluate(self, vis: bool = False, vis_count: int = 8) -> Dict[str, float]:
         cfg = self.cfg
         preds_voxel = self.predict_voxels()
         name = self.dataset.name
@@ -127,6 +127,25 @@ class Tester:
             metrics = evaluate_mscoco(preds_img, samples)
         else:
             raise KeyError(name)
+
+        if vis:  # reference: common/utils/vis.py overlays dumped to output/vis
+            from ihpr_tpu.data.datasets import render_synthetic_image
+            from ihpr_tpu.utils.vis import vis_keypoints
+
+            vis_dir = f"{cfg.output_dir}/vis"
+            os.makedirs(vis_dir, exist_ok=True)
+            import cv2
+
+            for i in range(min(vis_count, len(samples))):
+                s = samples[i]
+                img = (
+                    render_synthetic_image(s)
+                    if s.get("img_path") is None
+                    else cv2.imread(s["img_path"])[:, :, ::-1]
+                )
+                overlay = vis_keypoints(img, preds_img[i], self.dataset.skeleton)
+                cv2.imwrite(f"{vis_dir}/pred_{i}.jpg", overlay[:, :, ::-1])
+            self.logger.info(f"wrote {min(vis_count, len(samples))} overlays to {vis_dir}")
 
         os.makedirs(f"{cfg.output_dir}/result", exist_ok=True)
         for k, v in sorted(metrics.items()):

@@ -146,5 +146,6 @@ class Trainer:
                         f"({speed / n_dev:.1f} img/s/chip)"
                     )
             self.ckpt.save(epoch, self.state, self.data_rng)
-            self.logger.info(f"saved snapshot_{epoch}")
+            self.logger.info(f"saving snapshot_{epoch} (async)")
+        self.ckpt.wait()
         return self.state

@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--synthetic_size", type=int, default=128)
     ap.add_argument("--num_workers", type=int, default=8)
     ap.add_argument("--output_dir", default=None)
+    ap.add_argument("--vis", action="store_true", help="dump keypoint overlays to output/vis")
     args = ap.parse_args()
 
     from ihpr_tpu.config import get_config
@@ -40,7 +41,7 @@ def main():
         num_workers=args.num_workers,
         synthetic_size=args.synthetic_size,
     )
-    metrics = tester.evaluate()
+    metrics = tester.evaluate(vis=args.vis)
     print(metrics)
 
 

@@ -162,7 +162,7 @@ def test_checkpoint_roundtrip_and_resume(tiny_cfg, tiny_data):
     tmp = tempfile.mkdtemp()
     try:
         ckpt = CheckpointManager(tmp)
-        ckpt.save(0, state, rng)
+        ckpt.save(0, state, rng)  # async; latest_epoch/load drain it
         assert ckpt.latest_epoch() == 0
         template, _ = create_train_state(model, tiny_cfg, jax.random.key(9), 10)
         restored, r_rng, epoch = ckpt.load_latest(template, jax.random.key(9))
