@@ -53,8 +53,8 @@ class DataConfig:
     pixel_mean: Tuple[float, float, float] = IMAGENET_MEAN
     pixel_std: Tuple[float, float, float] = IMAGENET_STD
     # Augmentation ranges (reference data/dataset.py:get_aug_config):
-    # scale ~ 1 + 0.25*clip(randn,-1,1); rot ~ 60*clip(randn,-2,2) applied
-    # with prob 0.6; color scale in [0.8, 1.2] per channel; flip p=0.5.
+    # scale ~ 1 + 0.25*clip(randn,-1,1); rot ~ 30*clip(randn,-2,2) (range
+    # +-60 deg) with prob 0.6; color scale in [0.8, 1.2]/channel; flip 0.5.
     scale_factor: float = 0.25
     rot_factor: float = 30.0
     rot_prob: float = 0.6

@@ -15,7 +15,7 @@ reference's single warpAffine from the original image.
 
 Augmentation distributions (reference get_aug_config):
   scale ~ 1 + scale_factor * clip(N(0,1), -1, 1)
-  rot   ~ 2 * rot_factor * clip(N(0,1), -2, 2) with prob rot_prob, else 0
+  rot   ~ rot_factor * clip(N(0,1), -2, 2) with prob rot_prob, else 0
   flip  ~ Bernoulli(0.5)
   color ~ U[1 - color_factor, 1 + color_factor] per RGB channel
 """
@@ -70,11 +70,8 @@ def sample_aug_params(rng: jax.Array, batch: int, cfg: DataConfig):
     scale = 1.0 + cfg.scale_factor * jnp.clip(
         jax.random.normal(k_s, (batch,)), -1.0, 1.0
     )
-    rot = (
-        2.0
-        * cfg.rot_factor
-        * jnp.clip(jax.random.normal(k_r, (batch,)), -2.0, 2.0)
-    )
+    # reference: rot = clip(randn, -2, 2) * rot_factor  (range +-2*rot_factor)
+    rot = cfg.rot_factor * jnp.clip(jax.random.normal(k_r, (batch,)), -2.0, 2.0)
     rot = jnp.where(jax.random.uniform(k_rp, (batch,)) <= cfg.rot_prob, rot, 0.0)
     do_flip = jax.random.bernoulli(k_f, cfg.flip_prob, (batch,))
     color = jax.random.uniform(

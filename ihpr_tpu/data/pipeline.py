@@ -281,7 +281,8 @@ class BatchLoader:
             )
             if self.train and d.use_aug:
                 scale = 1.0 + d.scale_factor * np.clip(rng.randn(b), -1, 1)
-                rot = 2.0 * d.rot_factor * np.clip(rng.randn(b), -2, 2)
+                # reference: clip(randn,-2,2) * rot_factor (range +-2*rf)
+                rot = d.rot_factor * np.clip(rng.randn(b), -2, 2)
                 rot = np.where(rng.rand(b) <= d.rot_prob, rot, 0.0)
                 flips = (rng.rand(b) <= d.flip_prob).astype(np.int32)
                 colors = rng.uniform(
@@ -339,19 +340,36 @@ def prefetch_to_device(
     it: Iterator[HostBatch], sharding=None, depth: int = 2
 ) -> Iterator[Dict]:
     """Double-buffered async device_put (BASELINE "double-buffered HBM
-    batches"). Yields dicts of device arrays."""
+    batches"). Yields dicts of device arrays.
+
+    Multi-host (DCN): when the sharding spans processes, each host supplies
+    only its local slice of the batch (``jax.make_array_from_process_local_
+    data`` assembles the global array) — the SPMD replacement for the
+    reference DataLoader's scatter. Hosts must iterate loaders with the
+    same seed/epoch so the global batch is consistent; each host owns the
+    contiguous row block [pidx*local : (pidx+1)*local], matching the default
+    mesh's contiguous device-per-process ordering.
+    """
     import collections
 
     import jax
 
+    multi = jax.process_count() > 1
+    pidx, pcount = jax.process_index(), jax.process_count()
+
+    def put_one(v):
+        if sharding is None:
+            return jax.device_put(v)
+        if multi:
+            local_rows = v.shape[0] // pcount
+            local = v[pidx * local_rows : (pidx + 1) * local_rows]
+            return jax.make_array_from_process_local_data(sharding, local)
+        return jax.device_put(v, sharding)
+
     def put(hb: HostBatch):
         arrays = dataclasses.asdict(hb)
         arrays.pop("sample_idx")
-        if sharding is not None:
-            return {
-                k: jax.device_put(v, sharding) for k, v in arrays.items()
-            }, hb.sample_idx
-        return {k: jax.device_put(v) for k, v in arrays.items()}, hb.sample_idx
+        return {k: put_one(v) for k, v in arrays.items()}, hb.sample_idx
 
     queue = collections.deque()
     for hb in it:
