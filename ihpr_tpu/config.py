@@ -33,6 +33,10 @@ class ModelConfig:
     head_final_init_std: float = 0.001  # reference: normal(std=0.001) head init
     # Compute dtype for conv/matmul. Params stay fp32; bf16 feeds the MXU.
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    # Emit heatmap logits in fp32 (default: the volumetric softmax is
+    # precision-sensitive; bf16 logits shift coords ~0.02 voxel = ~0.6 mm
+    # but halve the integral kernel's HBM traffic).
+    fp32_logits: bool = True
     bn_momentum: float = 0.9
     bn_epsilon: float = 1e-5
 

@@ -133,6 +133,7 @@ class Trainer:
                 window_steps += 1
                 if itr % log_every == 0 or itr == self.steps_per_epoch - 1:
                     loss = float(metrics["loss"])  # sync point
+                    gnorm = float(metrics["grad_norm"])
                     now = _time.perf_counter()
                     itr_time = (now - window_start) / window_steps
                     window_start, window_steps = now, 0
@@ -141,7 +142,7 @@ class Trainer:
                     speed = global_batch / max(itr_time, 1e-9)
                     self.logger.info(
                         f"epoch {epoch}/{end_epoch} itr {itr}/{self.steps_per_epoch}: "
-                        f"lr {lr:.2e} loss {loss:.4f} "
+                        f"lr {lr:.2e} loss {loss:.4f} |g| {gnorm:.3f} "
                         f"{itr_time * 1e3:.1f} ms/itr {speed:.1f} img/s "
                         f"({speed / n_dev:.1f} img/s/chip)"
                     )

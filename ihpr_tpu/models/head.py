@@ -77,6 +77,7 @@ class DeconvHead(nn.Module):
     features: int = 256
     init_std: float = 0.001
     compute_dtype: Any = jnp.float32
+    fp32_logits: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -109,6 +110,8 @@ class DeconvHead(nn.Module):
             param_dtype=jnp.float32,
             name="final",
         )(x)
-        # Heatmap logits in fp32: the volumetric softmax is precision-
-        # sensitive and this cast is free relative to the convs.
-        return x.astype(jnp.float32)
+        # Heatmap logits in fp32 by default: the volumetric softmax is
+        # precision-sensitive and the cast is free relative to the convs.
+        # fp32_logits=False keeps them in compute_dtype (halves the fused
+        # integral kernel's HBM read in bf16 mode, ~0.02 voxel shift).
+        return x.astype(jnp.float32) if self.fp32_logits else x

@@ -28,6 +28,7 @@ class PoseNet(nn.Module):
     deconv_features: int = 256
     head_init_std: float = 0.001
     compute_dtype: Any = jnp.float32
+    fp32_logits: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -41,6 +42,7 @@ class PoseNet(nn.Module):
             self.deconv_features,
             self.head_init_std,
             self.compute_dtype,
+            self.fp32_logits,
             name="head",
         )(feat, train)
 
@@ -62,6 +64,7 @@ def build_pose_net(cfg: Config, joint_num: int | None = None) -> PoseNet:
         deconv_features=cfg.model.deconv_channels,
         head_init_std=cfg.model.head_final_init_std,
         compute_dtype=jnp.dtype(cfg.model.compute_dtype),
+        fp32_logits=cfg.model.fp32_logits,
     )
 
 

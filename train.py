@@ -20,6 +20,11 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="h36m3d_r50")
     ap.add_argument("--data_root", default=None, help="dataset root directory")
+    ap.add_argument(
+        "--trainset", default=None,
+        help="comma-separated dataset override, e.g. Human36M or Human36M,MPII",
+    )
+    ap.add_argument("--no_aug", action="store_true", help="disable augmentation")
     ap.add_argument("--synthetic", action="store_true", help="train on synthetic data")
     ap.add_argument("--continue", dest="continue_train", action="store_true")
     ap.add_argument("--end_epoch", type=int, default=None)
@@ -47,6 +52,15 @@ def main():
     cfg = get_config(args.config)
     if args.output_dir:
         cfg = cfg.replace(output_dir=args.output_dir)
+    if args.trainset or args.no_aug:
+        import dataclasses
+
+        kw = {}
+        if args.trainset:
+            kw["trainset"] = tuple(args.trainset.split(","))
+        if args.no_aug:
+            kw["use_aug"] = False
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, **kw))
     data_root = "synthetic" if args.synthetic else args.data_root
 
     trainer = Trainer(
