@@ -150,7 +150,8 @@ CONFIGS = {
     # precision-sensitive softmax stays fp32). Use the _fp32 variant to
     # reproduce the reference's full-fp32 arithmetic.
     "h36m3d_r50": _cfg(
-        name="h36m3d_r50", model=ModelConfig(compute_dtype="bfloat16")
+        name="h36m3d_r50",
+        model=ModelConfig(compute_dtype="bfloat16", fp32_logits=False),
     ),
     "h36m3d_r50_fp32": _cfg(name="h36m3d_r50_fp32"),
     # 4. ResNet-152 @ 288x384 input, mixed H36M+MPII batches, bf16 matmuls.
