@@ -398,10 +398,21 @@ def build_dataset(
 ) -> PoseDataset:
     """Factory mirroring the reference's dynamic dataset import
     (``common/base.py:_make_batch_generator`` exec/import dance)."""
+    import zlib
+
     skel = skeletons.get_skeleton(name)
     root = data_root or os.path.join("data", name)
-    if data_root == "synthetic" or not os.path.exists(root):
-        samples = make_synthetic(skel, synthetic_size, seed=hash(split) % 2**31)
+    if data_root == "synthetic":
+        # crc32, not hash(): str hash is randomized per process, which would
+        # give every host/restart a different synthetic dataset.
+        seed = zlib.crc32(f"{name}/{split}".encode()) % 2**31
+        samples = make_synthetic(skel, synthetic_size, seed=seed)
+    elif not os.path.exists(root):
+        raise FileNotFoundError(
+            f"dataset root {root!r} does not exist; pass --data_root pointing at "
+            f"the {name} release, or --synthetic / data_root='synthetic' for "
+            "blob data (refusing to silently substitute synthetic samples)"
+        )
     elif name == "Human36M":
         samples = load_h36m(root, split, cfg.eval.protocol)
     else:

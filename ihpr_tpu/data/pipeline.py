@@ -72,11 +72,16 @@ def extract_canvas(
     out = np.zeros((win, win, img.shape[2]), img.dtype)
     if sx1 > sx0 and sy1 > sy0:
         out[sy0 - y0 : sy1 - y0, sx0 - x0 : sx1 - x0] = img[sy0:sy1, sx0:sx1]
+    origin = np.array([x0, y0], np.float32)
     if scale > 1.0:
         import cv2
 
         out = cv2.resize(out, (canvas_px, canvas_px), interpolation=cv2.INTER_LINEAR)
-    return out, np.array([x0, y0], np.float32), np.float32(scale)
+        # cv2.resize maps dst pixel p -> src (p + 0.5) * scale - 0.5, while
+        # consumers assume orig = origin + scale * p; shift the origin by
+        # 0.5*(scale - 1) so labels stay aligned with the resampled pixels.
+        origin += 0.5 * (scale - 1.0)
+    return out, origin, np.float32(scale)
 
 
 @dataclasses.dataclass
@@ -151,7 +156,6 @@ class BatchLoader:
         # flatten (dataset_idx, sample_idx); pre-fix bboxes once
         self.index: List[tuple] = []
         for di, ds in enumerate(self.datasets):
-            maps = skeletons.joint_mapping_matrix(self.primary, ds.skeleton)
             for si, s in enumerate(ds.samples):
                 bb = process_bbox(
                     np.asarray(s["bbox"], np.float32),
@@ -188,17 +192,28 @@ class BatchLoader:
         return canvas, origin, cscale, bbox, joints, vis, float(ds.skeleton.has_depth), si
 
     def _batch_selection(self, epoch_idx: int):
+        """Yields this PROCESS's sample indices for each global batch. All
+        hosts shuffle with the same seed/epoch, so the global batch is
+        consistent; each host materializes only its contiguous row block
+        (matching the default mesh's device-per-process order) — decoding
+        the full global batch on every host would multiply input work by
+        the process count."""
+        import jax
+
+        pidx, pcount = jax.process_index(), jax.process_count()
         order = np.arange(len(self.index))
         if self.train:
             np.random.RandomState(self.seed + epoch_idx).shuffle(order)
         bs = self.batch_size
+        assert bs % pcount == 0, (bs, pcount)
+        local = bs // pcount
         for b in range(len(self)):
             sel = order[b * bs : (b + 1) * bs]
             if len(sel) < bs:  # pad the final eval batch by repeating
                 sel = np.concatenate(
                     [sel, np.full(bs - len(sel), sel[-1] if len(sel) else 0)]
                 )
-            yield sel
+            yield sel[pidx * local : (pidx + 1) * local]
 
     def epoch(self, epoch_idx: int = 0) -> Iterator:
         if self.host_warp:
@@ -342,28 +357,22 @@ def prefetch_to_device(
     """Double-buffered async device_put (BASELINE "double-buffered HBM
     batches"). Yields dicts of device arrays.
 
-    Multi-host (DCN): when the sharding spans processes, each host supplies
-    only its local slice of the batch (``jax.make_array_from_process_local_
-    data`` assembles the global array) — the SPMD replacement for the
-    reference DataLoader's scatter. Hosts must iterate loaders with the
-    same seed/epoch so the global batch is consistent; each host owns the
-    contiguous row block [pidx*local : (pidx+1)*local], matching the default
-    mesh's contiguous device-per-process ordering.
+    Multi-host (DCN): BatchLoader already yields only this process's row
+    block (see ``_batch_selection``); ``jax.make_array_from_process_local_
+    data`` assembles the global array from the per-host slices — the SPMD
+    replacement for the reference DataLoader's scatter.
     """
     import collections
 
     import jax
 
     multi = jax.process_count() > 1
-    pidx, pcount = jax.process_index(), jax.process_count()
 
     def put_one(v):
         if sharding is None:
             return jax.device_put(v)
         if multi:
-            local_rows = v.shape[0] // pcount
-            local = v[pidx * local_rows : (pidx + 1) * local_rows]
-            return jax.make_array_from_process_local_data(sharding, local)
+            return jax.make_array_from_process_local_data(sharding, v)
         return jax.device_put(v, sharding)
 
     def put(hb: HostBatch):

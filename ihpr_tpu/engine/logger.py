@@ -28,7 +28,9 @@ class _ColorFormatter(logging.Formatter):
 
 
 def colorlogger(log_dir: str | None = None, log_name: str = "train_logs.txt") -> logging.Logger:
-    logger = logging.getLogger(f"ihpr.{log_name}")
+    # Cache key includes the directory: a second Trainer with a different
+    # output_dir must not keep appending to the first one's file.
+    logger = logging.getLogger(f"ihpr.{log_dir}.{log_name}")
     logger.setLevel(logging.INFO)
     logger.propagate = False
     if logger.handlers:

@@ -55,15 +55,21 @@ class PoseServer:
         self.max_batch = max_batch
         self.flip_test = cfg.eval.flip_test if flip_test is None else flip_test
         self.flip_perm = self.skeleton.flip_permutation()
-        self._fn = jax.jit(self._forward)
+        # params travel as jit ARGUMENTS: closing over them would bake ~100MB
+        # of weights into the executable as constants and silently ignore
+        # later weight updates.
+        self._jitted = jax.jit(self._forward)
 
-    def _forward(self, patch_u8, color_scale):
+    def _fn(self, patch_u8, color_scale):
+        return self._jitted(self.params, self.batch_stats, patch_u8, color_scale)
+
+    def _forward(self, params, batch_stats, patch_u8, color_scale):
         image = finalize_patch(patch_u8, color_scale, self.cfg.data)
         j, d = self.skeleton.joint_num, self.cfg.data.depth_dim
 
         def infer(img):
             hm = self.model.apply(
-                {"params": self.params, "batch_stats": self.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 img,
                 train=False,
             )

@@ -78,6 +78,30 @@ class Trainer:
                 self.start_epoch = epoch + 1
                 self.logger.info(f"resumed from snapshot_{epoch}")
 
+    def cap_steps_per_epoch(self, n: int):
+        """Shrink epochs to n steps (smoke runs). Rebuilds the optimizer and
+        LR schedule so decay boundaries track the CAPPED epoch length — the
+        originals were built from the full loader length."""
+        from ihpr_tpu.parallel.train_step import make_optimizer
+
+        n = min(n, self.steps_per_epoch)
+        self.steps_per_epoch = n
+        self.tx = make_optimizer(self.cfg, n)
+        self.lr_sched = make_lr_schedule(self.cfg, n)
+        self.state = self.state.replace(opt_state=self.tx.init(self.state.params))
+        self.step_fn = make_train_step(
+            self.model, self.tx, self.cfg, self.mesh, donate=self.cfg.parallel.donate
+        )
+        base_epoch = self.loader.epoch
+
+        def capped(e):
+            for i, b in enumerate(base_epoch(e)):
+                if i >= n:
+                    break
+                yield b
+
+        self.loader.epoch = capped
+
     def load_pretrained_backbone(self, msgpack_path: str):
         """Install converted ImageNet weights (tools/convert_torch_ckpt.py);
         replaces the reference's model-zoo download."""

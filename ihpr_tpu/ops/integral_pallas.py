@@ -69,33 +69,37 @@ _MAX_CHUNK_BYTES = 2 * 1024 * 1024
 _SEG_LANES = 128
 
 
-def _supported(joint_num: int, depth_dim: int) -> bool:
+def _supported(joint_num: int, depth_dim: int, hw: int = 4096) -> bool:
     """The kernel handles lane extents that are 128-aligned (Mosaic's lane
-    rule) with at most _SEG_LANES joints."""
-    return (joint_num * depth_dim) % 128 == 0 and joint_num <= _SEG_LANES
+    rule), at most _SEG_LANES joints, and HW planes with a legal chunking."""
+    return (
+        (joint_num * depth_dim) % 128 == 0
+        and joint_num <= _SEG_LANES
+        and _chunk_rows(hw, joint_num * depth_dim) is not None
+    )
 
 
-def _padded_joint_num(joint_num: int, depth_dim: int) -> int | None:
+def _padded_joint_num(joint_num: int, depth_dim: int, hw: int) -> int | None:
     """Smallest J' >= J for which the kernel applies (zero-pad joints)."""
     if 128 % depth_dim != 0:
         return None
     g = max(1, 128 // depth_dim)
     j2 = -(-joint_num // g) * g
-    return j2 if _supported(j2, depth_dim) else None
+    return j2 if _supported(j2, depth_dim, hw) else None
 
 
-def _chunk_rows(hw: int, lanes: int) -> int:
+def _chunk_rows(hw: int, lanes: int) -> int | None:
     """Largest divisor of hw that is a multiple of 8 (fp32 sublane tile) and
-    fits the VMEM chunk budget; falls back to hw itself for small planes."""
+    fits the VMEM chunk budget; hw itself for small planes; None when no
+    legal chunking exists (callers fall back to the plain-JAX path — a
+    non-dividing chunk would silently drop trailing rows)."""
     cap = max(8, _MAX_CHUNK_BYTES // (lanes * 4))
     if hw <= cap:
         return hw
-    best = 8
     for c in range(cap, 7, -1):
         if hw % c == 0 and c % 8 == 0:
-            best = c
-            break
-    return best
+            return c
+    return None
 
 
 @functools.lru_cache(maxsize=None)
@@ -207,8 +211,9 @@ def _fwd_call(vol: jax.Array, joint_num: int, depth_dim: int, h: int, w: int):
     """vol: (B, H*W, J*D) -> coords (B, J, 3), m (B,), s (B, J)."""
     b, hw, jd = vol.shape
     assert hw == h * w and jd == joint_num * depth_dim, (vol.shape, joint_num, depth_dim, h, w)
-    assert _supported(joint_num, depth_dim), (joint_num, depth_dim)
+    assert _supported(joint_num, depth_dim, hw), (joint_num, depth_dim, hw)
     chunk = _chunk_rows(hw, jd)
+    assert chunk is not None and hw % chunk == 0, (hw, jd, chunk)
     seg = jnp.asarray(_segment_matrix(joint_num, depth_dim))
     kernel = functools.partial(_fwd_kernel, d=depth_dim, w=w, chunk=chunk)
     vout, m = pl.pallas_call(
@@ -259,6 +264,7 @@ def _bwd_call(
 ) -> jax.Array:
     b, hw, jd = vol.shape
     chunk = _chunk_rows(hw, jd)
+    assert chunk is not None and hw % chunk == 0, (hw, jd, chunk)
 
     # Fold all per-joint constants into five (B, J*D) lane-rows (XLA ops on
     # tiny tensors): m, 1/s, gx, gy, and bias = gz*(z - cz) - gx*cx - gy*cy.
@@ -319,9 +325,9 @@ def _dispatch(vol: jax.Array, joint_num: int, depth_dim: int, h: int, w: int) ->
     custom_vjp, so autodiff through it is handled by JAX; padded joints
     receive zero cotangent and contribute nothing to the backward kernel."""
     hw = h * w
-    if _supported(joint_num, depth_dim):
+    if _supported(joint_num, depth_dim, hw):
         return _soft_argmax_fused(vol, joint_num, depth_dim, h, w)
-    j2 = _padded_joint_num(joint_num, depth_dim)
+    j2 = _padded_joint_num(joint_num, depth_dim, hw)
     # Padding beyond 2x the real joints wastes more than the fusion saves.
     if j2 is not None and j2 <= 2 * joint_num:
         padded = jnp.pad(

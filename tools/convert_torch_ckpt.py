@@ -100,20 +100,25 @@ def convert_head(
 ) -> Tuple[Dict, Dict]:
     """Reference HeadNet state_dict -> (params, batch_stats) for DeconvHead.
 
-    Expects torch keys ``deconv.{3k}.weight`` (ConvTranspose), ``deconv.{3k+1}``
-    (BN) and ``final.{weight,bias}`` (tools/torch_reference.py layout)."""
+    Accepts both module-name layouts: ``deconv_layers.N`` / ``final_layer``
+    (the upstream reference's HeadNet attribute names, main/model.py) and
+    ``deconv.N`` / ``final`` (tools/torch_reference.py)."""
+    if f"{prefix}deconv_layers.0.weight" in sd:
+        seq, final = "deconv_layers", "final_layer"
+    else:
+        seq, final = "deconv", "final"
     p: Dict = {}
     s: Dict = {}
     for i in range(num_layers):
         p[f"deconv{i + 1}"] = {
-            "kernel": _deconv_w(sd[f"{prefix}deconv.{3 * i}.weight"])
+            "kernel": _deconv_w(sd[f"{prefix}{seq}.{3 * i}.weight"])
         }
-        bp, bs = _bn(sd, f"{prefix}deconv.{3 * i + 1}")
+        bp, bs = _bn(sd, f"{prefix}{seq}.{3 * i + 1}")
         p[f"bn{i + 1}"] = {"BatchNorm_0": bp}
         s[f"bn{i + 1}"] = {"BatchNorm_0": bs}
     p["final"] = {
-        "kernel": _conv_w(sd[prefix + "final.weight"]),
-        "bias": _np(sd[prefix + "final.bias"]),
+        "kernel": _conv_w(sd[f"{prefix}{final}.weight"]),
+        "bias": _np(sd[f"{prefix}{final}.bias"]),
     }
     return p, s
 

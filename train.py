@@ -73,17 +73,7 @@ def main():
     if args.pretrained:
         trainer.load_pretrained_backbone(args.pretrained)
     if args.steps is not None:
-        trainer.steps_per_epoch = min(trainer.steps_per_epoch, args.steps)
-        trainer.loader.drop_last = True
-        base_epoch = trainer.loader.epoch
-
-        def capped(e):
-            for i, b in enumerate(base_epoch(e)):
-                if i >= args.steps:
-                    break
-                yield b
-
-        trainer.loader.epoch = capped
+        trainer.cap_steps_per_epoch(args.steps)
     trainer.train(args.end_epoch, profile_dir=args.profile_dir)
 
 
