@@ -48,8 +48,63 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.warp_batch_u8.restype = None
     lib.omp_max_threads.restype = ctypes.c_int
+    lib.has_jpeg.restype = ctypes.c_int
+    if lib.has_jpeg():
+        lib.decode_and_warp_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),  # jpegs
+            ctypes.POINTER(ctypes.c_int64),  # lens
+            ctypes.POINTER(ctypes.c_float),  # invs
+            ctypes.POINTER(ctypes.c_int32),  # flips
+            ctypes.POINTER(ctypes.c_uint8),  # dst
+            ctypes.POINTER(ctypes.c_int32),  # ok
+            ctypes.c_int,  # batch
+            ctypes.c_int,  # oh
+            ctypes.c_int,  # ow
+        ]
+        lib.decode_and_warp_batch.restype = None
     _LIB = lib
     return lib
+
+
+def has_jpeg() -> bool:
+    lib = _load()
+    return bool(lib and lib.has_jpeg())
+
+
+def decode_and_warp_batch(
+    jpeg_blobs,
+    inv_mats: np.ndarray,
+    flips: np.ndarray,
+    out_h: int,
+    out_w: int,
+):
+    """Fused JPEG decode + warp (libjpeg + OpenMP): B jpeg byte strings ->
+    ((B, out_h, out_w, 3) uint8 RGB patches, (B,) ok flags). Full-resolution
+    images never enter Python."""
+    lib = _load()
+    assert lib is not None and lib.has_jpeg()
+    batch = len(jpeg_blobs)
+    bufs = [np.frombuffer(b, np.uint8) for b in jpeg_blobs]
+    ptrs = (ctypes.c_void_p * batch)(
+        *[b.ctypes.data_as(ctypes.c_void_p).value for b in bufs]
+    )
+    lens = np.asarray([len(b) for b in bufs], np.int64)
+    invs = np.ascontiguousarray(inv_mats, np.float32).reshape(batch, 6)
+    fl = np.asarray(flips, np.int32)
+    out = np.empty((batch, out_h, out_w, 3), np.uint8)
+    ok = np.empty(batch, np.int32)
+    lib.decode_and_warp_batch(
+        ptrs,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        invs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        fl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        batch,
+        out_h,
+        out_w,
+    )
+    return out, ok.astype(bool)
 
 
 def available() -> bool:

@@ -36,6 +36,11 @@ from ihpr_tpu.data import skeletons
 from ihpr_tpu.data.datasets import PoseDataset, render_synthetic_image
 
 
+def _read_bytes(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()
+
+
 def _load_image(sample: dict) -> np.ndarray:
     if sample.get("img_path") is None:
         return render_synthetic_image(sample)
@@ -283,12 +288,12 @@ class BatchLoader:
 
         for bi, sel in enumerate(self._batch_selection(epoch_idx)):
             entries = [self.index[i] for i in sel]
-            if self._pool is not None:
-                images = list(self._pool.map(self._load_entry_image, entries))
-            else:
-                images = [self._load_entry_image(e) for e in entries]
             b = len(entries)
-            img_w = np.asarray([im.shape[1] for im in images], np.float32)
+            ent_samples = [self.datasets[di].samples[si] for di, si, _ in entries]
+            # image widths come from the annotations (img_shape), so flip
+            # matrices exist BEFORE decode — enabling the fused C++
+            # decode+warp below.
+            img_w = np.asarray([s["img_shape"][1] for s in ent_samples], np.float32)
 
             # --- batched aug sampling (reference get_aug_config dists) ---
             rng = np.random.RandomState(
@@ -316,7 +321,29 @@ class BatchLoader:
             invs = gen_trans_np(c_x, c_y, bbox[:, 2], bbox[:, 3], in_w, in_h, scale, rot, inv=True)
             fwds = gen_trans_np(c_x, c_y, bbox[:, 2], bbox[:, 3], in_w, in_h, scale, rot)
 
-            patches = native.warp_batch(images, invs, flips, in_h, in_w)
+            jpegable = native.has_jpeg() and all(
+                (s.get("img_path") or "").lower().endswith((".jpg", ".jpeg"))
+                for s in ent_samples
+            )
+            if jpegable:
+                # fused libjpeg decode + warp: full-res images stay in C++
+                paths = [s["img_path"] for s in ent_samples]
+                if self._pool is not None:
+                    blobs = list(self._pool.map(_read_bytes, paths))
+                else:
+                    blobs = [_read_bytes(p) for p in paths]
+                patches, ok = native.decode_and_warp_batch(blobs, invs, flips, in_h, in_w)
+                for k in np.nonzero(~ok)[0]:  # corrupt jpeg -> cv2 fallback
+                    img = _load_image(ent_samples[k])
+                    patches[k] = native.warp_batch(
+                        [img], invs[k : k + 1], flips[k : k + 1], in_h, in_w
+                    )[0]
+            else:
+                if self._pool is not None:
+                    images = list(self._pool.map(self._load_entry_image, entries))
+                else:
+                    images = [self._load_entry_image(e) for e in entries]
+                patches = native.warp_batch(images, invs, flips, in_h, in_w)
 
             # --- batched joint transform ---
             joints = u_joints[sel]  # (b, J, 3)

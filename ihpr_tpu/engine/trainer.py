@@ -164,9 +164,12 @@ class Trainer:
                     step = int(self.state.step)
                     lr = float(self.lr_sched(step))
                     speed = global_batch / max(itr_time, 1e-9)
+                    exy = float(metrics["err_xy_voxels"])
+                    ez = float(metrics["err_z_voxels"])
                     self.logger.info(
                         f"epoch {epoch}/{end_epoch} itr {itr}/{self.steps_per_epoch}: "
                         f"lr {lr:.2e} loss {loss:.4f} |g| {gnorm:.3f} "
+                        f"err xy {exy:.2f} z {ez:.2f} vox "
                         f"{itr_time * 1e3:.1f} ms/itr {speed:.1f} img/s "
                         f"({speed / n_dev:.1f} img/s/chip)"
                     )

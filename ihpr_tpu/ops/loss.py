@@ -43,3 +43,22 @@ def joint_location_loss(
     )
     masked = err * joint_vis * z_mask
     return masked.mean()
+
+
+def joint_location_loss_components(
+    coord_out: jax.Array,
+    joint_img: jax.Array,
+    joint_vis: jax.Array,
+    joints_have_depth: jax.Array,
+):
+    """Diagnostic split of the L1 loss: mean VISIBLE xy error and mean
+    supervised z error (in voxels). Not used for gradients — the training
+    loss stays ``joint_location_loss`` — but logged so plateaus can be
+    attributed to localization vs depth."""
+    vis = joint_vis.reshape(joint_vis.shape[0], -1).astype(jnp.float32)
+    hd = joints_have_depth.reshape(-1, 1).astype(jnp.float32)
+    err = jnp.abs(coord_out.astype(jnp.float32) - joint_img.astype(jnp.float32))
+    xy = (err[..., :2].mean(-1) * vis).sum() / jnp.maximum(vis.sum(), 1.0)
+    zw = vis * hd
+    z = (err[..., 2] * zw).sum() / jnp.maximum(zw.sum(), 1.0)
+    return xy, z

@@ -31,6 +31,7 @@ from ihpr_tpu.data import skeletons
 from ihpr_tpu.data.augment import PatchBatch, finalize_patch, make_patch_batch
 from ihpr_tpu.models.pose_net import PoseNet
 from ihpr_tpu.ops import joint_location_loss
+from ihpr_tpu.ops.loss import joint_location_loss_components
 from ihpr_tpu.ops.integral_pallas import soft_argmax_from_heatmap
 from ihpr_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
@@ -144,16 +145,21 @@ def make_train_step(
             loss = joint_location_loss(
                 coords, patch.joint_img, patch.joint_vis, patch.joints_have_depth
             )
-            return loss, updates["batch_stats"]
+            return loss, (updates["batch_stats"], coords)
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (new_stats, coords)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        err_xy, err_z = joint_location_loss_components(
+            coords, patch.joint_img, patch.joint_vis, patch.joints_have_depth
+        )
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
+            "err_xy_voxels": err_xy,
+            "err_z_voxels": err_z,
         }
         if debug_grads:  # test-only: raw grads for DP-equivalence checks
             metrics["grads"] = grads

@@ -19,11 +19,18 @@
 // ABI: plain C, consumed via ctypes (ihpr_tpu/data/native.py).
 
 #include <cmath>
+#include <csetjmp>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
+#include <vector>
 
 #if defined(_OPENMP)
 #include <omp.h>
+#endif
+
+#if defined(IHPR_HAVE_JPEG)
+#include <jpeglib.h>
 #endif
 
 extern "C" {
@@ -134,5 +141,79 @@ int omp_max_threads() {
   return 1;
 #endif
 }
+
+#if defined(IHPR_HAVE_JPEG)
+namespace {
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jmp;
+};
+void jpeg_err_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jmp, 1);
+}
+// Decode an RGB JPEG into out (resized vector); returns 0 on failure.
+int decode_jpeg_rgb(const uint8_t* data, size_t len, std::vector<uint8_t>& out,
+                    int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *h = cinfo.output_height;
+  *w = cinfo.output_width;
+  out.resize((size_t)(*h) * (*w) * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out.data() + (size_t)cinfo.output_scanline * (*w) * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 1;
+}
+}  // namespace
+
+// Fused JPEG decode + affine warp for a whole batch: the complete native
+// replacement for the reference's cv2.imread + cv2.warpAffine worker loop.
+// Each OpenMP task decodes one image into thread-local scratch and warps it
+// straight into the output patch; the full-resolution image never crosses
+// back into Python. ok[b] = 0 flags corrupt JPEGs (caller falls back).
+void decode_and_warp_batch(const uint8_t* const* jpegs, const int64_t* lens,
+                           const float* invs, const int32_t* flips,
+                           uint8_t* dst, int32_t* ok, int batch, int oh,
+                           int ow) {
+#if defined(_OPENMP)
+#pragma omp parallel
+#endif
+  {
+    std::vector<uint8_t> scratch;
+#if defined(_OPENMP)
+#pragma omp for schedule(dynamic)
+#endif
+    for (int b = 0; b < batch; ++b) {
+      int h = 0, w = 0;
+      if (decode_jpeg_rgb(jpegs[b], (size_t)lens[b], scratch, &h, &w)) {
+        warp_affine_u8(scratch.data(), h, w, 3, invs + 6 * b, flips[b],
+                       dst + (size_t)b * oh * ow * 3, oh, ow);
+        ok[b] = 1;
+      } else {
+        memset(dst + (size_t)b * oh * ow * 3, 0, (size_t)oh * ow * 3);
+        ok[b] = 0;
+      }
+    }
+  }
+}
+
+int has_jpeg() { return 1; }
+#else
+int has_jpeg() { return 0; }
+#endif
 
 }  // extern "C"

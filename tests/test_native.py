@@ -120,3 +120,61 @@ def test_host_warp_aug_determinism():
     # different epoch -> different augmentation
     b3 = next(l1.epoch(4))
     assert not np.array_equal(b1.patch, b3.patch)
+
+
+@pytest.mark.skipif(not native.has_jpeg(), reason="libjpeg not compiled in")
+def test_fused_jpeg_decode_warp(tmp_path):
+    """decode_and_warp_batch == cv2 decode + warp (same libjpeg underneath)."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 255, (200, 180, 3)).astype(np.uint8)
+    path = str(tmp_path / "t.jpg")
+    cv2.imwrite(path, img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 95])
+    decoded = cv2.imread(path)[:, :, ::-1]  # RGB, post-jpeg-loss
+
+    inv = gen_trans_np(90.0, 100.0, 120.0, 120.0, 64, 64, 1.0, 15.0, inv=True)
+    ref = native.warp_batch([decoded], inv[None], np.zeros(1, np.int32), 64, 64)[0]
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    fused, ok = native.decode_and_warp_batch([blob], inv[None], np.zeros(1, np.int32), 64, 64)
+    assert ok.all()
+    diff = np.abs(fused[0].astype(np.int32) - ref.astype(np.int32))
+    assert np.percentile(diff, 99) <= 2, diff.max()
+
+    # corrupt jpeg -> ok=False, zero patch
+    bad, okb = native.decode_and_warp_batch([b"not a jpeg"], inv[None], np.zeros(1, np.int32), 64, 64)
+    assert not okb.any() and bad.sum() == 0
+
+
+@pytest.mark.skipif(not native.has_jpeg(), reason="libjpeg not compiled in")
+def test_host_warp_loader_jpeg_path(tmp_path):
+    """The loader's fused-jpeg branch produces the same batch as the cv2
+    decode branch."""
+    cfg = get_config("h36m3d_r50").replace(
+        data=DataConfig(trainset=("Human36M",), use_aug=True, depth_dim=16,
+                        input_shape=(64, 64), output_shape=(16, 16)),
+    )
+    skel = skeletons.H36M
+    samples = make_synthetic(skel, 8, seed=6, img_size=200)
+    from ihpr_tpu.data.datasets import render_synthetic_image
+
+    for i, s in enumerate(samples):
+        p = str(tmp_path / f"{i}.jpg")
+        cv2.imwrite(p, render_synthetic_image(s)[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 98])
+        s["img_path"] = p
+    ds = PoseDataset("Human36M", skel, samples, True)
+    l_jpeg = BatchLoader([ds], cfg, 4, train=True, num_workers=0, host_warp=True, seed=3)
+    hb1 = next(l_jpeg.epoch(0))
+    # force the cv2 branch by monkeypatching has_jpeg
+    import ihpr_tpu.data.native as nat
+
+    orig = nat.has_jpeg
+    nat.has_jpeg = lambda: False
+    try:
+        l_cv2 = BatchLoader([ds], cfg, 4, train=True, num_workers=0, host_warp=True, seed=3)
+        hb2 = next(l_cv2.epoch(0))
+    finally:
+        nat.has_jpeg = orig
+    np.testing.assert_array_equal(hb1.joint_img, hb2.joint_img)
+    diff = np.abs(hb1.patch.astype(np.int32) - hb2.patch.astype(np.int32))
+    assert np.percentile(diff, 99) <= 2, diff.max()
