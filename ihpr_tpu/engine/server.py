@@ -68,12 +68,12 @@ class PoseServer:
         j, d = self.skeleton.joint_num, self.cfg.data.depth_dim
 
         def infer(img):
-            hm = self.model.apply(
+            return self.model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 img,
                 train=False,
+                method=self.model.coords,
             )
-            return soft_argmax_from_heatmap(hm, j, d)
 
         coords = infer(image)
         if self.flip_test:

@@ -71,6 +71,30 @@ class SubpixelConvTranspose(nn.Module):
         return jnp.stack([even, odd], axis=2).reshape(b, 2 * h, 2 * w, f)
 
 
+class _FinalConvParams(nn.Module):
+    """Owns the final 1x1 conv's parameters with the same tree layout as
+    ``nn.Conv(name='final')`` (kernel (1, 1, C, out), bias (out,)) but
+    returns the raw arrays, so the fused final-conv+integral kernel and the
+    plain logits path share one set of weights."""
+
+    in_features: int
+    out_features: int
+    init_std: float
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.normal(stddev=self.init_std),
+            (1, 1, self.in_features, self.out_features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.out_features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class DeconvHead(nn.Module):
     out_channels: int  # joint_num * depth_dim
     num_layers: int = 3
@@ -80,13 +104,16 @@ class DeconvHead(nn.Module):
     fp32_logits: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mode: str = "logits", joint_num=None, depth_dim=None):
+        """mode='logits': (B, H, W, J*D) heatmap logits (reference
+        semantics). mode='coords': (B, J, 3) via the fused final-conv +
+        integral Pallas kernel — the logits volume never touches HBM."""
         init = nn.initializers.normal(stddev=self.init_std)
         x = x.astype(self.compute_dtype)
         for i in range(self.num_layers):
             # Measured in situ on v5e: XLA already phase-decomposes the
             # transposed conv inside the full train program (28.5 ms/step vs
-            # 30.5 with the manual SubpixelConvTranspose below, whose pixel
+            # 30.5 with the manual SubpixelConvTranspose above, whose pixel
             # shuffle costs extra relayouts).
             x = nn.ConvTranspose(
                 self.features,
@@ -101,15 +128,18 @@ class DeconvHead(nn.Module):
             )(x)
             x = _BN(self.compute_dtype, name=f"bn{i + 1}")(x, train)
             x = nn.relu(x)
-        x = nn.Conv(
-            self.out_channels,
-            (1, 1),
-            kernel_init=init,
-            bias_init=nn.initializers.zeros,
-            dtype=self.compute_dtype,
-            param_dtype=jnp.float32,
-            name="final",
-        )(x)
+        kernel, bias = _FinalConvParams(
+            self.features, self.out_channels, self.init_std, name="final"
+        )()
+        k2d = kernel[0, 0].astype(self.compute_dtype)
+        if mode == "coords":
+            from ihpr_tpu.ops.fused_head_integral import fused_final_conv_integral
+
+            return fused_final_conv_integral(
+                x, k2d, bias.astype(self.compute_dtype), joint_num, depth_dim
+            )
+        # plain logits: the 1x1 conv is exactly x @ k + b
+        x = jnp.einsum("bhwc,co->bhwo", x, k2d) + bias.astype(self.compute_dtype)
         # Heatmap logits in fp32 by default: the volumetric softmax is
         # precision-sensitive and the cast is free relative to the convs.
         # fp32_logits=False keeps them in compute_dtype (halves the fused

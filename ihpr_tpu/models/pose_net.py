@@ -30,26 +30,31 @@ class PoseNet(nn.Module):
     compute_dtype: Any = jnp.float32
     fp32_logits: bool = True
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        """(B, H, W, 3) normalized image -> (B, H/4, W/4, J*D) heatmap logits."""
-        feat = ResNetBackbone(
-            self.resnet_type, self.compute_dtype, name="backbone"
-        )(x, train)
-        return DeconvHead(
+    def setup(self):
+        self.backbone = ResNetBackbone(self.resnet_type, self.compute_dtype)
+        self.head = DeconvHead(
             self.joint_num * self.depth_dim,
             self.num_deconv_layers,
             self.deconv_features,
             self.head_init_std,
             self.compute_dtype,
             self.fp32_logits,
-            name="head",
-        )(feat, train)
+        )
+
+    def __call__(self, x, train: bool = False):
+        """(B, H, W, 3) normalized image -> (B, H/4, W/4, J*D) heatmap logits."""
+        return self.head(self.backbone(x, train), train)
 
     def coords(self, x, train: bool = False):
-        """(B, H, W, 3) image -> (B, J, 3) voxel coordinates (x, y, z)."""
-        heatmap = self(x, train)
-        return soft_argmax_from_heatmap(heatmap, self.joint_num, self.depth_dim)
+        """(B, H, W, 3) image -> (B, J, 3) voxel coordinates (x, y, z).
+
+        Routes through the fused final-conv+integral kernel (the logits
+        volume never exists in HBM); falls back internally for unsupported
+        shapes. ``__call__`` remains the reference-shaped heatmap path."""
+        feat = self.backbone(x, train)
+        return self.head(
+            feat, train, mode="coords", joint_num=self.joint_num, depth_dim=self.depth_dim
+        )
 
 
 def build_pose_net(cfg: Config, joint_num: int | None = None) -> PoseNet:

@@ -1,0 +1,237 @@
+"""Fused final-1x1-conv + integral soft-argmax Pallas kernel.
+
+The head's last op is a 1x1 conv 256 -> J*D followed by the volumetric
+soft-argmax. Run separately, the (B, H*W, J*D) logits volume round-trips
+HBM: written by the conv, read by the integral forward, read again by its
+backward, and its cotangent written+read around the conv backward —
+~4 volume passes (~2.4 GB per 32-batch step).
+
+This kernel fuses them: each grid program takes a (chunk, 256) slab of the
+head's penultimate features, computes the logits slab on the MXU
+(feat @ W + b), and feeds it STRAIGHT into the online-softmax statistics
+tail (integral_pallas._online_stats_tail) — the volume never exists in HBM.
+Backward recomputes the logits slab, forms dv in-register
+(integral_pallas._dv_from_rows), and contracts it immediately:
+    dfeat = dv @ W^T        (chunk, 256)   written out
+    dW   += feat^T @ dv     (256, J*D)     accumulated in VMEM scratch
+    db   += colsum(dv)      (J*D,)         accumulated in VMEM scratch
+with the weight gradients written once by the final grid program. Gradient
+math is the exact VJP of (conv -> softmax -> expectation); the logits
+recompute is bit-identical to the forward (same matmul, same precision).
+
+Numerics: logit matmuls run at the MXU's native bf16 (same as XLA's conv
+lowering) with fp32 accumulation; everything downstream of the exp is fp32.
+
+HBM traffic per step (B=32, 64^3, C=256): read feat 2x (0.27 GB bf16),
+write dfeat (0.13 GB) — vs ~2.7 GB unfused. Activation memory also drops by
+the 0.6 GB volume, which XLA would otherwise keep as a residual.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ihpr_tpu.ops.integral_pallas import (
+    _SEG_LANES,
+    _chunk_rows,
+    _dv_from_rows,
+    _interpret,
+    _online_stats_tail,
+    _segment_matrix,
+    _supported,
+    fold_bwd_rows,
+)
+
+
+def fused_supported(joint_num: int, depth_dim: int, hw: int, channels: int) -> bool:
+    return (
+        _supported(joint_num, depth_dim, hw)
+        and channels % 128 == 0
+        and (_chunk_rows(hw, joint_num * depth_dim) or 0) % 8 == 0
+    )
+
+
+def _fwd_kernel(
+    feat_ref, w_ref, b_ref, seg_ref, vout_ref, m_ref, macc_ref, acc_ref,
+    *, d, w, chunk
+):
+    feat = feat_ref[0]  # (chunk, C) compute dtype
+    v = (
+        jnp.dot(feat, w_ref[...], preferred_element_type=jnp.float32)
+        + b_ref[0:1].astype(jnp.float32)
+    )  # (chunk, J*D) fp32 logits, MXU-native precision (== XLA conv)
+    _online_stats_tail(
+        v, seg_ref, vout_ref, m_ref, macc_ref, acc_ref, d=d, w=w, chunk=chunk
+    )
+
+
+def _bwd_kernel(
+    feat_ref, w_ref, b_ref, rows_ref, dfeat_ref, dw_ref, db_ref,
+    dw_acc, db_acc, *, d, w, chunk
+):
+    bi = pl.program_id(0)
+    ci = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nc = pl.num_programs(1)
+    feat = feat_ref[0]  # (chunk, C)
+    wmat = w_ref[...]  # (C, J*D)
+    v = (
+        jnp.dot(feat, wmat, preferred_element_type=jnp.float32)
+        + b_ref[0:1].astype(jnp.float32)
+    )
+    dv = _dv_from_rows(v, rows_ref[0], w=w, chunk=chunk)  # (chunk, J*D) fp32
+    dvc = dv.astype(wmat.dtype)
+
+    # dfeat = dv @ W^T (contract the J*D axis; no transpose materialized)
+    dfeat_ref[0] = jax.lax.dot_general(
+        dvc, wmat, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dfeat_ref.dtype)
+
+    # dW += feat^T @ dv ; db += colsum(dv) — accumulated across the WHOLE
+    # grid (batch and chunks run sequentially on one core).
+    dw_c = jax.lax.dot_general(
+        feat, dvc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (C, J*D)
+    db_c = jnp.sum(dv, axis=0, keepdims=True)  # (1, J*D)
+    first = jnp.logical_and(bi == 0, ci == 0)
+    dw_acc[...] = jnp.where(first, dw_c, dw_acc[...] + dw_c)
+    db_acc[0:1] = jnp.where(first, db_c, db_acc[0:1] + db_c)
+
+    @pl.when(jnp.logical_and(bi == nb - 1, ci == nc - 1))
+    def _():
+        dw_ref[...] = dw_acc[...]
+        db_ref[0:1] = db_acc[0:1]
+
+
+def _fwd_call(feat, wmat, bias, joint_num, depth_dim, h, w):
+    b, hw, c = feat.shape
+    jd = joint_num * depth_dim
+    chunk = _chunk_rows(hw, jd)
+    seg = jnp.asarray(_segment_matrix(joint_num, depth_dim))
+    kernel = functools.partial(_fwd_kernel, d=depth_dim, w=w, chunk=chunk)
+    feat_spec = pl.BlockSpec(
+        (1, chunk, c), lambda bi, ci: (bi, ci, 0), memory_space=pltpu.VMEM
+    )
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda bi, ci: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    vout, m = pl.pallas_call(
+        kernel,
+        grid=(b, hw // chunk),
+        in_specs=[feat_spec, const((c, jd)), const((1, jd)), const((jd, _SEG_LANES))],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 4, _SEG_LANES), lambda bi, ci: (bi, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 1, 1), lambda bi, ci: (bi, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 4, _SEG_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.VMEM((8, _SEG_LANES), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hw * c * jd,
+            bytes_accessed=b * hw * c * feat.dtype.itemsize,
+            transcendentals=b * hw * jd,
+        ),
+        interpret=_interpret(),
+    )(feat, wmat, bias.reshape(1, jd), seg)
+    s = vout[:, 0, :joint_num]
+    coords = vout[:, 1:4, :joint_num].transpose(0, 2, 1)
+    return coords, m.reshape(b), s
+
+
+def _bwd_call(feat, wmat, bias, m, s, coords, g, joint_num, depth_dim, h, w):
+    b, hw, c = feat.shape
+    jd = joint_num * depth_dim
+    chunk = _chunk_rows(hw, jd)
+    rows = fold_bwd_rows(m, s, coords, g, joint_num, depth_dim)
+    kernel = functools.partial(_bwd_kernel, d=depth_dim, w=w, chunk=chunk)
+    feat_spec = pl.BlockSpec(
+        (1, chunk, c), lambda bi, ci: (bi, ci, 0), memory_space=pltpu.VMEM
+    )
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda bi, ci: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    dfeat, dw, db = pl.pallas_call(
+        kernel,
+        grid=(b, hw // chunk),
+        in_specs=[
+            feat_spec,
+            const((c, jd)),
+            const((1, jd)),
+            pl.BlockSpec((1, 5, jd), lambda bi, ci: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[feat_spec, const((c, jd)), const((1, jd))],
+        out_shape=[
+            jax.ShapeDtypeStruct(feat.shape, feat.dtype),
+            jax.ShapeDtypeStruct((c, jd), jnp.float32),
+            jax.ShapeDtypeStruct((1, jd), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c, jd), jnp.float32),
+            pltpu.VMEM((8, jd), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * hw * c * jd,
+            bytes_accessed=2 * b * hw * c * feat.dtype.itemsize,
+            transcendentals=b * hw * jd,
+        ),
+        interpret=_interpret(),
+    )(feat, wmat, bias.reshape(1, jd), rows)
+    return dfeat, dw.astype(wmat.dtype), db.reshape(jd).astype(bias.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _fused(feat, wmat, bias, joint_num, depth_dim, h, w):
+    coords, _, _ = _fwd_call(feat, wmat, bias, joint_num, depth_dim, h, w)
+    return coords
+
+
+def _fused_fwd(feat, wmat, bias, joint_num, depth_dim, h, w):
+    coords, m, s = _fwd_call(feat, wmat, bias, joint_num, depth_dim, h, w)
+    return coords, (feat, wmat, bias, m, s, coords)
+
+
+def _fused_bwd(joint_num, depth_dim, h, w, res, g):
+    feat, wmat, bias, m, s, coords = res
+    return _bwd_call(feat, wmat, bias, m, s, coords, g, joint_num, depth_dim, h, w)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_final_conv_integral(
+    features: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    joint_num: int,
+    depth_dim: int,
+) -> jax.Array:
+    """(B, H, W, C) head features + (C, J*D) final-conv weights ->
+    (B, J, 3) voxel coords, with the logits volume never materialized.
+
+    Falls back to conv-then-dispatch when the shapes have no legal tiling.
+    """
+    b, h, w, c = features.shape
+    jd = kernel.shape[-1]
+    assert jd == joint_num * depth_dim, (kernel.shape, joint_num, depth_dim)
+    feat = features.reshape(b, h * w, c)
+    if fused_supported(joint_num, depth_dim, h * w, c):
+        return _fused(feat, kernel, bias, joint_num, depth_dim, h, w)
+    from ihpr_tpu.ops.integral_pallas import _dispatch
+
+    logits = (
+        jnp.dot(feat, kernel, preferred_element_type=jnp.float32)
+        + bias.astype(jnp.float32)
+    )
+    return _dispatch(logits, joint_num, depth_dim, h, w)

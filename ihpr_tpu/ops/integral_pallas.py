@@ -111,20 +111,19 @@ def _segment_matrix(joint_num: int, depth_dim: int) -> np.ndarray:
     return s
 
 
-def _fwd_kernel(v_ref, seg_ref, vout_ref, m_ref, macc_ref, acc_ref, *, d, w, chunk):
-    """Grid (B, HW/chunk); streams chunks of one sample's (HW, J*D) plane.
+def _online_stats_tail(v, seg_ref, vout_ref, m_ref, macc_ref, acc_ref, *, d, w, chunk):
+    """Shared per-chunk tail: online softmax statistics + MXU-factored
+    moments for one fp32 (chunk, J*D) logits block ``v``. Used by both the
+    standalone integral kernel and the fused final-conv+integral kernel.
 
-    MXU-factored moments: only TWO full-block VPU passes touch the
-    (chunk, J*D) plane — the max-reduce and the exp. The x/y/sum moments
-    ride one (3, chunk) @ (chunk, J*D) matmul (rows [1, x(r), y(r)]) and
-    per-joint segment sums ride a (4, J*D) @ (J*D, 128) matmul; both are
-    microscopic FLOP counts for the MXU. Scratch: acc (8, 128) VMEM rows
+    Only TWO full-block VPU passes touch the plane — the max-reduce and the
+    exp. The x/y/sum moments ride one (3, chunk) @ (chunk, J*D) matmul
+    (rows [1, x(r), y(r)]) and per-joint segment sums ride a
+    (4, J*D) @ (J*D, 128) matmul. Scratch: acc (8, 128) VMEM rows
     [s, sx, sy, sz]; macc SMEM running max (shared stabilizer — see module
-    docstring).
-    """
+    docstring)."""
     ci = pl.program_id(1)
     nc = pl.num_programs(1)
-    v = v_ref[0].astype(jnp.float32)  # (chunk, J*D)
     jd = v.shape[1]
 
     m_c = jnp.max(v)
@@ -172,33 +171,43 @@ def _fwd_kernel(v_ref, seg_ref, vout_ref, m_ref, macc_ref, acc_ref, *, d, w, chu
         m_ref[0, 0, 0] = m_new
 
 
-def _bwd_kernel(v_ref, rows_ref, dv_ref, *, w, chunk):
-    """dv = exp(v - m) * inv_s * (gx*x + gy*y + bias). Per-joint constants
-    are pre-folded into (5, J*D) lane-rows outside the kernel; the rank-3
-    term gx*x + gy*y + bias is one (chunk, 3) @ (3, J*D) MXU matmul, so
-    only ~3 full-block VPU passes remain (exp + two muls)."""
-    ci = pl.program_id(1)
-    v = v_ref[0].astype(jnp.float32)
-    rows = rows_ref[0]  # (5, J*D): m, inv_s, gx, gy, bias
-    p = jnp.exp(v - rows[0:1]) * rows[1:2]
-
-    cidx = jax.lax.broadcasted_iota(jnp.int32, (chunk, 8), 1)
-    r_glob = (
-        jax.lax.broadcasted_iota(jnp.int32, (chunk, 8), 0) + ci * chunk
+def _fwd_kernel(v_ref, seg_ref, vout_ref, m_ref, macc_ref, acc_ref, *, d, w, chunk):
+    """Grid (B, HW/chunk); streams chunks of one sample's (HW, J*D) plane
+    through the shared online-stats tail."""
+    v = v_ref[0].astype(jnp.float32)  # (chunk, J*D)
+    _online_stats_tail(
+        v, seg_ref, vout_ref, m_ref, macc_ref, acc_ref, d=d, w=w, chunk=chunk
     )
+
+
+def _dv_from_rows(v, rows, *, w, chunk):
+    """Shared backward elementwise: dv = exp(v - m) * inv_s *
+    (gx*x + gy*y + bias), with the rank-3 spatial term computed as one
+    (chunk, 3) @ (3, J*D) MXU matmul. ``rows``: (5, J*D)."""
+    ci = pl.program_id(1)
+    p = jnp.exp(v - rows[0:1]) * rows[1:2]
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (chunk, 8), 1)
+    r_glob = jax.lax.broadcasted_iota(jnp.int32, (chunk, 8), 0) + ci * chunk
     x_ids = (r_glob % w).astype(jnp.float32)
     y_ids = (r_glob // w).astype(jnp.float32)
     wc = jnp.where(
         cidx == 0, x_ids, jnp.where(cidx == 1, y_ids, jnp.where(cidx == 2, 1.0, 0.0))
-    )  # (chunk, 8), cols [x, y, 1, 0...]
+    )
     g8 = jnp.concatenate(
         [rows[2:5], jnp.zeros((5, rows.shape[1]), jnp.float32)], axis=0
-    )  # (8, J*D)
+    )
     term = jnp.dot(
         wc, g8, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # (chunk, J*D)
-    dv_ref[0] = (p * term).astype(dv_ref.dtype)
+    )
+    return p * term
+
+
+def _bwd_kernel(v_ref, rows_ref, dv_ref, *, w, chunk):
+    """Standalone backward: per-joint constants pre-folded into (5, J*D)
+    lane-rows outside the kernel (see _dv_from_rows)."""
+    v = v_ref[0].astype(jnp.float32)
+    dv_ref[0] = _dv_from_rows(v, rows_ref[0], w=w, chunk=chunk).astype(dv_ref.dtype)
 
 
 def _vol_spec(chunk: int, lanes: int) -> pl.BlockSpec:
@@ -251,6 +260,30 @@ def _fwd_call(vol: jax.Array, joint_num: int, depth_dim: int, h: int, w: int):
     return coords, m.reshape(b), s
 
 
+def fold_bwd_rows(
+    m: jax.Array,
+    s: jax.Array,
+    coords: jax.Array,
+    g: jax.Array,
+    joint_num: int,
+    depth_dim: int,
+) -> jax.Array:
+    """Fold all per-joint backward constants into five (B, J*D) lane-rows
+    (XLA ops on tiny tensors): m, 1/s, gx, gy, and
+    bias = gz*(z - cz) - gx*cx - gy*cy. Shared with the fused head op."""
+    b = m.shape[0]
+    jd = joint_num * depth_dim
+    g = g.astype(jnp.float32)
+    rep = lambda a: jnp.repeat(a, depth_dim, axis=-1)  # (B, J) -> (B, J*D)
+    inv_s = jnp.where(s > 0, 1.0 / s, 0.0)
+    z_pat = jnp.tile(jnp.arange(depth_dim, dtype=jnp.float32), joint_num)  # (J*D,)
+    gx, gy, gz = rep(g[..., 0]), rep(g[..., 1]), rep(g[..., 2])
+    cx, cy, cz = rep(coords[..., 0]), rep(coords[..., 1]), rep(coords[..., 2])
+    bias = gz * (z_pat[None, :] - cz) - gx * cx - gy * cy
+    m_row = jnp.broadcast_to(m[:, None], (b, jd))
+    return jnp.stack([m_row, rep(inv_s), gx, gy, bias], axis=1)  # (B, 5, J*D)
+
+
 def _bwd_call(
     vol: jax.Array,
     m: jax.Array,
@@ -265,19 +298,7 @@ def _bwd_call(
     b, hw, jd = vol.shape
     chunk = _chunk_rows(hw, jd)
     assert chunk is not None and hw % chunk == 0, (hw, jd, chunk)
-
-    # Fold all per-joint constants into five (B, J*D) lane-rows (XLA ops on
-    # tiny tensors): m, 1/s, gx, gy, and bias = gz*(z - cz) - gx*cx - gy*cy.
-    g = g.astype(jnp.float32)
-    rep = lambda a: jnp.repeat(a, depth_dim, axis=-1)  # (B, J) -> (B, J*D)
-    inv_s = jnp.where(s > 0, 1.0 / s, 0.0)
-    z_pat = jnp.tile(jnp.arange(depth_dim, dtype=jnp.float32), joint_num)  # (J*D,)
-    gx, gy, gz = rep(g[..., 0]), rep(g[..., 1]), rep(g[..., 2])
-    cx, cy, cz = rep(coords[..., 0]), rep(coords[..., 1]), rep(coords[..., 2])
-    bias = gz * (z_pat[None, :] - cz) - gx * cx - gy * cy
-    m_row = jnp.broadcast_to(m[:, None], (b, jd))
-    rows = jnp.stack([m_row, rep(inv_s), gx, gy, bias], axis=1)  # (B, 5, J*D)
-
+    rows = fold_bwd_rows(m, s, coords, g, joint_num, depth_dim)
     kernel = functools.partial(_bwd_kernel, w=w, chunk=chunk)
     return pl.pallas_call(
         kernel,

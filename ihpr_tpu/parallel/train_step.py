@@ -135,13 +135,15 @@ def make_train_step(
             )
 
         def loss_fn(params):
-            heatmap, updates = model.apply(
+            # model.coords = fused final-conv + integral kernel: the logits
+            # volume never materializes in HBM (ops/fused_head_integral.py).
+            coords, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 patch.image,
                 train=True,
                 mutable=["batch_stats"],
+                method=model.coords,
             )
-            coords = soft_argmax_from_heatmap(heatmap, joint_num, depth_dim)
             loss = joint_location_loss(
                 coords, patch.joint_img, patch.joint_vis, patch.joints_have_depth
             )
@@ -193,10 +195,12 @@ def make_eval_step(model: PoseNet, cfg: Config, mesh=None) -> Callable:
     out_w = cfg.data.output_shape[1]
 
     def infer(params, batch_stats, image):
-        heatmap = model.apply(
-            {"params": params, "batch_stats": batch_stats}, image, train=False
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            image,
+            train=False,
+            method=model.coords,
         )
-        return soft_argmax_from_heatmap(heatmap, joint_num, depth_dim)
 
     def eval_step(params, batch_stats, batch: dict):
         if "patch" in batch:  # native host-warp fast path

@@ -1,0 +1,86 @@
+"""Fused final-conv + integral kernel vs the unfused composition."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ihpr_tpu.ops.fused_head_integral import fused_final_conv_integral, fused_supported
+from ihpr_tpu.ops.integral import soft_argmax_3d
+
+
+def _unfused(feat, kernel, bias, j, d):
+    b, h, w, c = feat.shape
+    logits = jnp.einsum("bhwc,co->bhwo", feat.astype(jnp.float32), kernel.astype(jnp.float32)) + bias
+    vol = logits.reshape(b, h, w, j, d).transpose(0, 3, 4, 1, 2)
+    return soft_argmax_3d(vol)
+
+
+@pytest.fixture(scope="module")
+def shapes():
+    rng = np.random.RandomState(0)
+    b, h, w, c, j, d = 2, 16, 16, 128, 4, 32  # J*D = 128 (supported)
+    feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32) * 0.5)
+    kernel = jnp.asarray(rng.randn(c, j * d).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.randn(j * d).astype(np.float32) * 0.1)
+    return feat, kernel, bias, j, d
+
+
+def test_fused_supported_shapes(shapes):
+    feat, kernel, bias, j, d = shapes
+    assert fused_supported(j, d, feat.shape[1] * feat.shape[2], feat.shape[3])
+    assert fused_supported(18, 64, 64 * 64, 256)  # flagship
+    assert not fused_supported(16, 1, 64 * 64, 256)  # 2D config -> fallback
+
+
+def test_fused_forward_matches_unfused(shapes):
+    feat, kernel, bias, j, d = shapes
+    fused = fused_final_conv_integral(feat, kernel, bias, j, d)
+    ref = _unfused(feat, kernel, bias, j, d)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=5e-4)
+
+
+def test_fused_gradients_match_unfused(shapes):
+    feat, kernel, bias, j, d = shapes
+    t = jnp.asarray(np.random.RandomState(1).rand(2, j, 3).astype(np.float32) * 8)
+
+    def loss_fused(f, k, bb):
+        return jnp.sum((fused_final_conv_integral(f, k, bb, j, d) - t) ** 2)
+
+    def loss_ref(f, k, bb):
+        return jnp.sum((_unfused(f, k, bb, j, d) - t) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(feat, kernel, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(feat, kernel, bias)
+    for a, b, name in zip(gf, gr, ("dfeat", "dkernel", "dbias")):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = np.linalg.norm(b) + 1e-12
+        assert np.linalg.norm(a - b) / denom < 2e-4, (name, np.abs(a - b).max())
+
+
+def test_fused_fallback_path():
+    """Unsupported shapes route through conv + plain dispatch."""
+    rng = np.random.RandomState(2)
+    feat = jnp.asarray(rng.randn(1, 8, 8, 64).astype(np.float32))
+    j, d = 16, 1  # 2D case, no tiling
+    kernel = jnp.asarray(rng.randn(64, j * d).astype(np.float32) * 0.1)
+    bias = jnp.zeros(j * d)
+    out = fused_final_conv_integral(feat, kernel, bias, j, d)
+    ref = _unfused(feat, kernel, bias, j, d)[..., :2]
+    np.testing.assert_allclose(np.asarray(out)[..., :2], np.asarray(ref), atol=1e-4)
+
+
+def test_model_coords_uses_fused_and_matches_heatmap_path():
+    from ihpr_tpu.models.pose_net import PoseNet, init_pose_net
+    from ihpr_tpu.ops.integral_pallas import soft_argmax_from_heatmap
+
+    model = PoseNet(resnet_type=18, joint_num=4, depth_dim=32)  # J*D=128
+    params, bstats = init_pose_net(model, jax.random.key(0), (64, 64))
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 64, 64, 3).astype(np.float32))
+    vars_ = {"params": params, "batch_stats": bstats}
+    coords_fused = model.apply(vars_, x, train=False, method=model.coords)
+    hm = model.apply(vars_, x, train=False)
+    coords_ref = soft_argmax_from_heatmap(hm, 4, 32)
+    np.testing.assert_allclose(
+        np.asarray(coords_fused), np.asarray(coords_ref), atol=1e-3
+    )
