@@ -37,6 +37,9 @@ class ModelConfig:
     # precision-sensitive; bf16 logits shift coords ~0.02 voxel = ~0.6 mm
     # but halve the integral kernel's HBM traffic).
     fp32_logits: bool = True
+    # Space-to-depth stem: exact re-layout of the 7x7/2 stem conv that uses
+    # 12 MXU lanes instead of 3 (see models/resnet.py:s2d_stem_kernel).
+    s2d_stem: bool = False
     bn_momentum: float = 0.9
     bn_epsilon: float = 1e-5
 

@@ -29,9 +29,12 @@ class PoseNet(nn.Module):
     head_init_std: float = 0.001
     compute_dtype: Any = jnp.float32
     fp32_logits: bool = True
+    s2d_stem: bool = False
 
     def setup(self):
-        self.backbone = ResNetBackbone(self.resnet_type, self.compute_dtype)
+        self.backbone = ResNetBackbone(
+            self.resnet_type, self.compute_dtype, self.s2d_stem
+        )
         self.head = DeconvHead(
             self.joint_num * self.depth_dim,
             self.num_deconv_layers,
@@ -70,6 +73,7 @@ def build_pose_net(cfg: Config, joint_num: int | None = None) -> PoseNet:
         head_init_std=cfg.model.head_final_init_std,
         compute_dtype=jnp.dtype(cfg.model.compute_dtype),
         fp32_logits=cfg.model.fp32_logits,
+        s2d_stem=cfg.model.s2d_stem,
     )
 
 

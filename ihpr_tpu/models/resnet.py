@@ -106,26 +106,50 @@ class ResNetBackbone(nn.Module):
     """(B, H, W, 3) image -> (B, H/32, W/32, C) feature map.
 
     C = 512 for resnet 18/34, 2048 for 50/101/152.
+
+    ``s2d_stem``: compute the stem as space-to-depth-2 + a 4x4 stride-1
+    conv on 12 channels — mathematically EXACT for a 7x7/2 conv whose
+    weights are embedded by ``s2d_stem_kernel`` (3-channel inputs use
+    3/128 MXU lanes; the s2d form uses 12 and is several times faster).
+    The conv1 param shape becomes (4, 4, 12, 64).
     """
 
     resnet_type: int = 50
     compute_dtype: Any = jnp.float32
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kind, depths, expansion = RESNET_SPECS[self.resnet_type]
         block_cls = BasicBlock if kind == "basic" else Bottleneck
         x = x.astype(self.compute_dtype)
-        x = nn.Conv(
-            64,
-            (7, 7),
-            strides=(2, 2),
-            padding=[(3, 3), (3, 3)],
-            use_bias=False,
-            dtype=self.compute_dtype,
-            param_dtype=jnp.float32,
-            name="conv1",
-        )(x)
+        if self.s2d_stem:
+            b, h, w, c = x.shape
+            x = (
+                x.reshape(b, h // 2, 2, w // 2, 2, c)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(b, h // 2, w // 2, 4 * c)
+            )
+            x = nn.Conv(
+                64,
+                (4, 4),
+                padding=[(2, 1), (2, 1)],
+                use_bias=False,
+                dtype=self.compute_dtype,
+                param_dtype=jnp.float32,
+                name="conv1",
+            )(x)
+        else:
+            x = nn.Conv(
+                64,
+                (7, 7),
+                strides=(2, 2),
+                padding=[(3, 3), (3, 3)],
+                use_bias=False,
+                dtype=self.compute_dtype,
+                param_dtype=jnp.float32,
+                name="conv1",
+            )(x)
         x = _BN(self.compute_dtype, name="bn1")(x, train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -144,3 +168,27 @@ class ResNetBackbone(nn.Module):
     def out_features(self) -> int:
         _, _, expansion = RESNET_SPECS[self.resnet_type]
         return 512 * expansion
+
+
+def s2d_stem_kernel(w7: "np.ndarray") -> "np.ndarray":
+    """Embed a (7, 7, C, F) stride-2 stem kernel into the exact (4, 4, 4C, F)
+    space-to-depth-2 equivalent.
+
+    Derivation: output(i,j) taps input y = 2i + u - 3; in s2d-2 coordinates
+    y = 2r + py, so r - i = floor((u-3)/2) and py = (u-3) mod 2. With
+    asymmetric padding (2, 1) the 4x4 kernel index is a = r - i + 2; s2d
+    channel layout is (py*2 + px)*C + c (matching the reshape/transpose in
+    ResNetBackbone). Unused taps stay zero."""
+    import numpy as np
+
+    k, _, c, f = w7.shape
+    assert k == 7, w7.shape
+    out = np.zeros((4, 4, 4 * c, f), w7.dtype)
+    for u in range(7):
+        a = (u - 3) // 2 + 2
+        py = (u - 3) % 2
+        for v in range(7):
+            bb = (v - 3) // 2 + 2
+            px = (v - 3) % 2
+            out[a, bb, (py * 2 + px) * c : (py * 2 + px + 1) * c] = w7[u, v]
+    return out

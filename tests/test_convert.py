@@ -99,3 +99,26 @@ def test_dataparallel_prefix_stripped():
     stripped = {k[7:]: v for k, v in sd.items()}
     p1, _ = convert_backbone(stripped, 18)
     assert "conv1" in p1 and "layer4_1" in p1
+
+
+def test_s2d_stem_backbone_parity():
+    """s2d_stem=True + s2d_stem_kernel-embedded weights must reproduce the
+    standard backbone exactly (measured perf-neutral in situ on v5e; kept as
+    a documented option)."""
+    torch.manual_seed(3)
+    tm = tref.ResNetBackbone(18).eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.7, 1.3)
+    x = np.random.RandomState(4).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(x)).numpy()
+
+    params, stats = convert_backbone(tm.state_dict(), 18, s2d_stem=True)
+    fm = ResNetBackbone(resnet_type=18, s2d_stem=True)
+    fy = fm.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(_nhwc(x)), train=False
+    )
+    np.testing.assert_allclose(np.asarray(fy), _nhwc(ty), rtol=1e-4, atol=1e-4)

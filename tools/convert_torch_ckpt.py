@@ -53,11 +53,12 @@ def _bn(sd: Mapping, prefix: str) -> Tuple[Dict, Dict]:
 
 
 def convert_backbone(
-    sd: Mapping, resnet_type: int, prefix: str = ""
+    sd: Mapping, resnet_type: int, prefix: str = "", s2d_stem: bool = False
 ) -> Tuple[Dict, Dict]:
     """torchvision-style ResNet state_dict -> (params, batch_stats) for
-    ihpr_tpu.models.ResNetBackbone. ``prefix`` strips e.g. 'backbone.'."""
-    from ihpr_tpu.models.resnet import RESNET_SPECS
+    ihpr_tpu.models.ResNetBackbone. ``prefix`` strips e.g. 'backbone.'.
+    ``s2d_stem`` embeds the 7x7 stem into the exact space-to-depth form."""
+    from ihpr_tpu.models.resnet import RESNET_SPECS, s2d_stem_kernel
 
     kind, depths, _ = RESNET_SPECS[resnet_type]
     p: Dict = {}
@@ -68,7 +69,10 @@ def convert_backbone(
         p[dst_name] = {"BatchNorm_0": bp}
         s[dst_name] = {"BatchNorm_0": bs}
 
-    p["conv1"] = {"kernel": _conv_w(sd[prefix + "conv1.weight"])}
+    stem = _conv_w(sd[prefix + "conv1.weight"])
+    if s2d_stem:
+        stem = s2d_stem_kernel(stem)
+    p["conv1"] = {"kernel": stem}
     bn_into("bn1", prefix + "bn1")
 
     n_convs = 2 if kind == "basic" else 3
