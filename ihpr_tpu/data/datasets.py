@@ -236,11 +236,14 @@ def evaluate_mpii_pckh(
     preds_px: np.ndarray, samples: Sequence[dict], thresh: float = 0.5
 ) -> Dict[str, float]:
     """PCKh@0.5: fraction of predicted joints within thresh * head-segment
-    length of GT, over visible joints (standard MPII metric)."""
+    length of GT, over visible joints, with the standard per-joint
+    breakdown (the MPII leaderboard table)."""
     skel = skeletons.MPII
     head_idx = skel.joints_name.index("Head")
     neck_idx = skel.joints_name.index("Neck")
-    correct, total = 0, 0
+    j = skel.joint_num
+    correct = np.zeros(j)
+    total = np.zeros(j)
     for pred, sample in zip(preds_px, samples):
         gt = sample["joint_img"][:, :2]
         vis = sample["joint_vis"] > 0
@@ -248,9 +251,15 @@ def evaluate_mpii_pckh(
         if head_size < 1e-3:
             continue
         d = np.linalg.norm(pred[:, :2] - gt, axis=-1)
-        correct += int(((d <= thresh * head_size) & vis).sum())
-        total += int(vis.sum())
-    return {"PCKh@0.5": correct / max(total, 1)}
+        correct += ((d <= thresh * head_size) & vis).astype(np.float64)
+        total += vis.astype(np.float64)
+    out = {
+        f"PCKh@0.5 {name}": float(correct[i] / total[i])
+        for i, name in enumerate(skel.joints_name)
+        if total[i] > 0
+    }
+    out["PCKh@0.5"] = float(correct.sum() / max(total.sum(), 1))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -350,16 +359,21 @@ def make_synthetic(
 
 
 def render_synthetic_image(sample: dict, sigma: float = 4.0) -> np.ndarray:
-    """(H, W, 3) uint8 with a Gaussian blob per joint (channel-coded by
-    joint index so the net can tell joints apart). Blobs are rendered only
-    in a +-4 sigma window — full-frame grids made this the input-pipeline
-    bottleneck."""
+    """(H, W, 3) uint8 with a Gaussian blob per joint. Blobs are rendered
+    only in a +-4 sigma window — full-frame grids made this the
+    input-pipeline bottleneck.
+
+    Joint identity is coded as a unique hue (intensity-only coding left
+    joints ambiguous); root-relative DEPTH is coded in the blob radius
+    (sigma 2.5..6.5 px over z in [-600, 600] mm), so every label dimension
+    is inferable from pixels and a trained model's MPJPE is meaningful."""
     h, w = sample["img_shape"]
     img = np.zeros((h, w, 3), np.float32)
     joints = sample["joint_img"]
     n = len(joints)
-    r = int(4 * sigma)
-    for j, (x, y, _z) in enumerate(joints):
+    for j, (x, y, z) in enumerate(joints):
+        sj = sigma * (0.625 + max(-1.0, min(1.0, z / 600.0)) * 0.5) + 0.5
+        r = int(4 * sj)
         xi, yi = int(round(x)), int(round(y))
         x0, x1 = max(0, xi - r), min(w, xi + r + 1)
         y0, y1 = max(0, yi - r), min(h, yi + r + 1)
@@ -367,10 +381,7 @@ def render_synthetic_image(sample: dict, sigma: float = 4.0) -> np.ndarray:
             continue
         ys = np.arange(y0, y1, dtype=np.float32)[:, None]
         xs = np.arange(x0, x1, dtype=np.float32)[None, :]
-        blob = np.exp(-((xs - x) ** 2 + (ys - y) ** 2) / (2 * sigma**2))
-        # Unique RGB signature per joint (hue around the color wheel) so
-        # every joint is identifiable — intensity-only coding left joints
-        # ambiguous and capped what a model could learn from this data.
+        blob = np.exp(-((xs - x) ** 2 + (ys - y) ** 2) / (2 * sj**2))
         ang = 2 * np.pi * j / max(n, 1)
         rgb = 128 + 120 * np.array(
             [np.cos(ang), np.cos(ang - 2 * np.pi / 3), np.cos(ang + 2 * np.pi / 3)]
