@@ -64,10 +64,14 @@ H36M_ACTIONS = (
     "WalkDog", "Walking", "WalkTogether",
 )
 
-# Protocol splits (reference Human36M.py): P1 train S1,5,6,7,8 test S11 /
-# P2 train S1,5,6,7,8 test S9,S11.
-H36M_TRAIN_SUBJECTS = (1, 5, 6, 7, 8)
+# Protocol splits (reference data/Human36M/Human36M.py:~20-40):
+# P1 (PA-MPJPE) train S1,5,6,7,8,9 test S11 / P2 (MPJPE) train S1,5,6,7,8
+# test S9,S11 — only protocol 2 holds S9 out of training.
+H36M_TRAIN_SUBJECTS = {1: (1, 5, 6, 7, 8, 9), 2: (1, 5, 6, 7, 8)}
 H36M_TEST_SUBJECTS = {1: (11,), 2: (9, 11)}
+
+
+_WARNED_ACTION_IDX_FALLBACK = False
 
 
 def load_h36m(
@@ -84,7 +88,9 @@ def load_h36m(
       {image_id: (17, 3)}.
     """
     skel = skeletons.H36M
-    subjects = H36M_TRAIN_SUBJECTS if split == "train" else H36M_TEST_SUBJECTS[protocol]
+    subjects = (
+        H36M_TRAIN_SUBJECTS[protocol] if split == "train" else H36M_TEST_SUBJECTS[protocol]
+    )
     if sampling is None:
         sampling = 5 if split == "train" else 64
     samples: List[dict] = []
@@ -133,9 +139,23 @@ def load_h36m(
             joint_img[:, 2] = jc[:, 2] - root_z  # root-relative mm
             anns = db.load_anns(db.get_ann_ids([img_id]))
             bbox = np.asarray(anns[0]["bbox"], np.float32) if anns else _bbox_from_joints(jp)
-            action = img.get("action_name") or H36M_ACTIONS[
-                int(img.get("action_idx", 2)) - 2
-            ]
+            action = img.get("action_name")
+            if action is None:
+                # Unverified indexing guess (upstream action_idx starts at 2);
+                # warn once so a real-data run can't silently mislabel the
+                # per-action MPJPE table.
+                global _WARNED_ACTION_IDX_FALLBACK
+                if not _WARNED_ACTION_IDX_FALLBACK:
+                    _WARNED_ACTION_IDX_FALLBACK = True
+                    import warnings
+
+                    warnings.warn(
+                        "H36M annotations lack action_name; deriving the action "
+                        "from action_idx-2 — verify the per-action MPJPE table "
+                        "against the official toolkit.",
+                        stacklevel=2,
+                    )
+                action = H36M_ACTIONS[int(img.get("action_idx", 2)) - 2]
             samples.append(
                 dict(
                     img_path=os.path.join(root, "images", img["file_name"]),
@@ -216,28 +236,41 @@ def load_mpii(root: str, split: str) -> List[dict]:
         if vis.sum() == 0:
             continue
         joint_img = np.concatenate([kpts[:, :2], np.zeros((skel.joint_num, 1))], 1)
-        samples.append(
-            dict(
-                img_path=os.path.join(root, "images", img["file_name"]),
-                img_shape=(img["height"], img["width"]),
-                bbox=np.asarray(ann["bbox"], np.float32),
-                joint_img=joint_img.astype(np.float32),
-                joint_vis=vis,
-                root_z=0.0,
-                f=np.array([1.0, 1.0], np.float32),
-                c=np.array([0.0, 0.0], np.float32),
-                action="",
-            )
+        sample = dict(
+            img_path=os.path.join(root, "images", img["file_name"]),
+            img_shape=(img["height"], img["width"]),
+            bbox=np.asarray(ann["bbox"], np.float32),
+            joint_img=joint_img.astype(np.float32),
+            joint_vis=vis,
+            root_z=0.0,
+            f=np.array([1.0, 1.0], np.float32),
+            c=np.array([0.0, 0.0], np.float32),
+            action="",
         )
+        # Official-metric normalizer when the annotation carries a head box
+        # (x1, y1, x2, y2); the common COCO-format release omits it.
+        if "head_box" in ann:
+            sample["head_box"] = np.asarray(ann["head_box"], np.float32)
+        samples.append(sample)
     return samples
+
+
+# Standard MPII PCKh headbox scaling (the official eval's SC_BIAS): the
+# normalizer is 0.6 * headbox diagonal, approximating head segment length.
+MPII_SC_BIAS = 0.6
 
 
 def evaluate_mpii_pckh(
     preds_px: np.ndarray, samples: Sequence[dict], thresh: float = 0.5
 ) -> Dict[str, float]:
-    """PCKh@0.5: fraction of predicted joints within thresh * head-segment
-    length of GT, over visible joints, with the standard per-joint
-    breakdown (the MPII leaderboard table)."""
+    """PCKh@0.5 with the standard per-joint breakdown.
+
+    Normalizer: when a sample carries the annotated head box
+    (``head_box = (x1, y1, x2, y2)``), uses the official
+    ``SC_BIAS * headbox diagonal`` — comparable to the MPII leaderboard.
+    Otherwise falls back to the Head-Neck segment length, which is only an
+    approximation of the official metric (our COCO-format annotations do
+    not include head boxes)."""
     skel = skeletons.MPII
     head_idx = skel.joints_name.index("Head")
     neck_idx = skel.joints_name.index("Neck")
@@ -247,7 +280,11 @@ def evaluate_mpii_pckh(
     for pred, sample in zip(preds_px, samples):
         gt = sample["joint_img"][:, :2]
         vis = sample["joint_vis"] > 0
-        head_size = np.linalg.norm(gt[head_idx] - gt[neck_idx])
+        if "head_box" in sample:
+            x1, y1, x2, y2 = np.asarray(sample["head_box"], np.float64)
+            head_size = MPII_SC_BIAS * float(np.hypot(x2 - x1, y2 - y1))
+        else:
+            head_size = np.linalg.norm(gt[head_idx] - gt[neck_idx])
         if head_size < 1e-3:
             continue
         d = np.linalg.norm(pred[:, :2] - gt, axis=-1)

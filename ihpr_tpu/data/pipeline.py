@@ -100,7 +100,8 @@ class HostBatch:
     joints: np.ndarray  # (B, J, 3)
     joint_vis: np.ndarray  # (B, J)
     joints_have_depth: np.ndarray  # (B,)
-    sample_idx: np.ndarray  # (B,) indices into the dataset (for eval)
+    sample_idx: np.ndarray  # (B,) flat positions into BatchLoader.index
+    # (THIS process's rows of the global batch; eval scatters by these)
 
 
 @dataclasses.dataclass
@@ -194,7 +195,7 @@ class BatchLoader:
             vis = skeletons.transform_joint_to_other_db(
                 vis[:, None], ds.skeleton, self.primary
             )[:, 0]
-        return canvas, origin, cscale, bbox, joints, vis, float(ds.skeleton.has_depth), si
+        return canvas, origin, cscale, bbox, joints, vis, float(ds.skeleton.has_depth)
 
     def _batch_selection(self, epoch_idx: int):
         """Yields this PROCESS's sample indices for each global batch. All
@@ -220,17 +221,22 @@ class BatchLoader:
                 )
             yield sel[pidx * local : (pidx + 1) * local]
 
-    def epoch(self, epoch_idx: int = 0) -> Iterator:
-        if self.host_warp:
-            yield from self._epoch_host_warp(epoch_idx)
-            return
+    def epoch(self, epoch_idx: int = 0, max_steps: Optional[int] = None) -> Iterator:
+        """Yield one epoch of batches; ``max_steps`` truncates the epoch
+        (smoke runs / capped benchmarks)."""
+        import itertools
+
+        it = self._epoch_host_warp(epoch_idx) if self.host_warp else self._epoch_full(epoch_idx)
+        yield from itertools.islice(it, max_steps)
+
+    def _epoch_full(self, epoch_idx: int) -> Iterator:
         for sel in self._batch_selection(epoch_idx):
             entries = [self.index[i] for i in sel]
             if self._pool is not None:
                 rows = list(self._pool.map(self._build_sample, entries))
             else:
                 rows = [self._build_sample(e) for e in entries]
-            canvas, origin, cscale, bbox, joints, vis, hd, sidx = zip(*rows)
+            canvas, origin, cscale, bbox, joints, vis, hd = zip(*rows)
             yield HostBatch(
                 canvas=np.stack(canvas),
                 canvas_origin=np.stack(origin),
@@ -239,7 +245,7 @@ class BatchLoader:
                 joints=np.stack(joints).astype(np.float32),
                 joint_vis=np.stack(vis).astype(np.float32),
                 joints_have_depth=np.asarray(hd, np.float32),
-                sample_idx=np.asarray(sidx, np.int64),
+                sample_idx=np.asarray(sel, np.int64),
             )
 
     # ---- native host-warp fast path -------------------------------------
@@ -374,7 +380,7 @@ class BatchLoader:
                 joint_img=np.stack([x_hm, y_hm, z_hm], -1).astype(np.float32),
                 joint_vis=(vis * inside).astype(np.float32),
                 joints_have_depth=u_hd[sel],
-                sample_idx=np.asarray([self.index[i][1] for i in sel], np.int64),
+                sample_idx=np.asarray(sel, np.int64),
             )
 
 

@@ -24,11 +24,61 @@ from ihpr_tpu.data.datasets import (
     evaluate_mscoco,
 )
 from ihpr_tpu.data.pipeline import BatchLoader, prefetch_to_device
-from ihpr_tpu.data.warp import gen_trans
+from ihpr_tpu.data.warp import gen_trans_np
 from ihpr_tpu.engine.checkpoint import CheckpointManager
 from ihpr_tpu.engine.logger import colorlogger
 from ihpr_tpu.models.pose_net import build_pose_net
 from ihpr_tpu.parallel import batch_sharding, create_train_state, make_eval_step, make_mesh
+
+
+def metrics_from_voxel_preds(
+    cfg: Config, loader: BatchLoader, dataset: PoseDataset, preds_voxel: np.ndarray
+):
+    """(N, J, 3) voxel predictions in loader.index order -> (metrics,
+    preds_img, samples). The SINGLE evaluation code path (warp-back ->
+    pixel2cam -> dataset metric) shared by the Tester and the torch-CPU
+    oracle in tools/accuracy_loop.py, so MPJPE comparisons differ only in
+    the network forward. Reference: Human36M.evaluate / MPII.evaluate.
+    """
+    name = dataset.name
+    in_shape, out_shape = cfg.data.input_shape, cfg.data.output_shape
+    depth = cfg.data.depth_dim
+    bbox3d_z = cfg.data.bbox_3d_shape[0]
+
+    # voxel -> original-image px (+ absolute mm depth): one vectorized
+    # numpy pass (a per-sample jnp gen_trans would dispatch thousands of
+    # tiny accelerator programs over the axon tunnel).
+    samples = [dataset.samples[si] for _, si, _ in loader.index]
+    bboxes = np.stack([b for _, _, b in loader.index]).astype(np.float32)
+    invs = gen_trans_np(
+        bboxes[:, 0] + bboxes[:, 2] / 2,
+        bboxes[:, 1] + bboxes[:, 3] / 2,
+        bboxes[:, 2],
+        bboxes[:, 3],
+        in_shape[1],
+        in_shape[0],
+        1.0,
+        0.0,
+        inv=True,
+    )
+    preds_img = np.zeros_like(preds_voxel)
+    for i, (sample, inv) in enumerate(zip(samples, invs)):
+        preds_img[i] = geometry.warp_coord_to_original(
+            preds_voxel[i], inv, out_shape, in_shape, depth, bbox3d_z, sample["root_z"]
+        )
+
+    if name == "Human36M":
+        preds_cam = np.stack(
+            [geometry.pixel2cam(p, s["f"], s["c"]) for p, s in zip(preds_img, samples)]
+        )
+        metrics = evaluate_h36m(preds_cam, samples, cfg.eval.protocol)
+    elif name == "MPII":
+        metrics = evaluate_mpii_pckh(preds_img, samples)
+    elif name == "MSCOCO":
+        metrics = evaluate_mscoco(preds_img, samples)
+    else:
+        raise KeyError(name)
+    return metrics, preds_img, samples
 
 
 class Tester:
@@ -74,20 +124,37 @@ class Tester:
 
     def predict_voxels(self) -> np.ndarray:
         """Run the model over the test set -> (N, J, 3) voxel coords in
-        dataset order (duplicate padding of the final batch dropped)."""
+        loader.index order.
+
+        Rows are scattered by the loader's explicit ``sample_idx`` (never by
+        assumed sequential position), so final-batch duplicate padding and
+        multi-process row interleaving are both handled. Under multi-host
+        the batch-sharded coords are not fully addressable — every host
+        allgathers the global coords plus every host's index block before
+        scattering."""
         n = len(self.loader.index)
         out = np.zeros((n, self.dataset.joint_num, 3), np.float32)
         seen = np.zeros(n, bool)
         sharding = batch_sharding(self.mesh)
-        pos = 0
+        multi = jax.process_count() > 1
         for batch, sample_idx in prefetch_to_device(self.loader.epoch(), sharding):
             coords, _, _ = self.eval_step(self.state.params, self.state.batch_stats, batch)
-            coords = np.asarray(jax.device_get(coords))
-            bs = coords.shape[0]
-            rows = np.arange(pos, min(pos + bs, n))
-            out[rows] = coords[: len(rows)]
-            seen[rows] = True
-            pos += bs
+            if multi:
+                from jax.experimental import multihost_utils
+
+                # Global coords in global-batch order; per-process index
+                # blocks concatenated in process order. _batch_selection
+                # hands process p rows [p*local, (p+1)*local) of the global
+                # batch and the default mesh orders devices by process, so
+                # the two concatenations line up row-for-row.
+                coords = np.asarray(multihost_utils.process_allgather(coords, tiled=True))
+                sample_idx = np.asarray(
+                    multihost_utils.process_allgather(np.asarray(sample_idx), tiled=True)
+                )
+            else:
+                coords = np.asarray(jax.device_get(coords))
+            out[sample_idx] = coords
+            seen[sample_idx] = True
         assert seen.all()
         return out
 
@@ -95,38 +162,9 @@ class Tester:
         cfg = self.cfg
         preds_voxel = self.predict_voxels()
         name = self.dataset.name
-        in_shape, out_shape = cfg.data.input_shape, cfg.data.output_shape
-        depth = cfg.data.depth_dim
-        bbox3d_z = cfg.data.bbox_3d_shape[0]
-
-        # voxel -> original-image px (+ absolute mm depth) per sample
-        preds_img = np.zeros_like(preds_voxel)
-        samples = []
-        for i, (di, si, bbox) in enumerate(self.loader.index):
-            sample = self.dataset.samples[si]
-            samples.append(sample)
-            c_x, c_y = bbox[0] + bbox[2] / 2, bbox[1] + bbox[3] / 2
-            inv = np.asarray(
-                gen_trans(c_x, c_y, bbox[2], bbox[3], in_shape[1], in_shape[0], 1.0, 0.0, inv=True)
-            )
-            preds_img[i] = geometry.warp_coord_to_original(
-                preds_voxel[i], inv, out_shape, in_shape, depth, bbox3d_z, sample["root_z"]
-            )
-
-        if name == "Human36M":
-            preds_cam = np.stack(
-                [
-                    geometry.pixel2cam(p, s["f"], s["c"])
-                    for p, s in zip(preds_img, samples)
-                ]
-            )
-            metrics = evaluate_h36m(preds_cam, samples, cfg.eval.protocol)
-        elif name == "MPII":
-            metrics = evaluate_mpii_pckh(preds_img, samples)
-        elif name == "MSCOCO":
-            metrics = evaluate_mscoco(preds_img, samples)
-        else:
-            raise KeyError(name)
+        metrics, preds_img, samples = metrics_from_voxel_preds(
+            cfg, self.loader, self.dataset, preds_voxel
+        )
 
         if vis:  # reference: common/utils/vis.py overlays dumped to output/vis
             from ihpr_tpu.data.datasets import render_synthetic_image
@@ -155,4 +193,67 @@ class Tester:
         with open(f"{cfg.output_dir}/result/metrics_{name}.json", "w") as f:
             json.dump(metrics, f, indent=1)
         np.save(f"{cfg.output_dir}/result/preds_{name}.npy", preds_img)
+        self._write_upstream_artifacts(name, preds_img, samples)
         return metrics
+
+    def _write_upstream_artifacts(self, name, preds_img, samples):
+        """Result dumps in the reference's layouts (SURVEY.md §3.2), next to
+        our metrics json, so the official toolkits can consume them:
+        - MPII: ``pred.mat`` with key 'preds' (N, 16, 2), MATLAB 1-based px
+          (reference data/MPII/MPII.py:evaluate -> savemat).
+        - Human36M: ``bbox_root_pose_h36m_output.json`` — list of per-sample
+          dicts with image-space and camera-space joints (reference
+          Human36M.evaluate result dump).
+        - MSCOCO: official detections json consumable by COCOeval
+          (``person_keypoints_result.json``).
+        """
+        result_dir = f"{self.cfg.output_dir}/result"
+        if name == "MPII":
+            from scipy.io import savemat
+
+            savemat(
+                f"{result_dir}/pred.mat",
+                {"preds": preds_img[:, :, :2].astype(np.float64) + 1.0},
+            )
+            self.logger.info(f"wrote {result_dir}/pred.mat (official MPII layout)")
+        elif name == "Human36M":
+            import json
+
+            out = []
+            for pred, s in zip(preds_img, samples):
+                joint_cam = geometry.pixel2cam(pred, s["f"], s["c"])
+                out.append(
+                    dict(
+                        image_path=s.get("img_path"),
+                        action=s.get("action", ""),
+                        joint_img=pred.tolist(),
+                        joint_cam=joint_cam.tolist(),
+                    )
+                )
+            with open(f"{result_dir}/bbox_root_pose_h36m_output.json", "w") as f:
+                json.dump(out, f)
+            self.logger.info(
+                f"wrote {result_dir}/bbox_root_pose_h36m_output.json "
+                "(upstream H36M result layout)"
+            )
+        elif name == "MSCOCO":
+            import json
+
+            out = []
+            for i, (pred, s) in enumerate(zip(preds_img, samples)):
+                kpts = np.concatenate(
+                    [pred[:, :2], np.ones((pred.shape[0], 1), np.float32)], 1
+                )
+                out.append(
+                    dict(
+                        image_id=int(s.get("image_id", i)),
+                        category_id=1,
+                        keypoints=[round(float(v), 2) for v in kpts.reshape(-1)],
+                        score=1.0,
+                    )
+                )
+            with open(f"{result_dir}/person_keypoints_result.json", "w") as f:
+                json.dump(out, f)
+            self.logger.info(
+                f"wrote {result_dir}/person_keypoints_result.json (COCOeval layout)"
+            )

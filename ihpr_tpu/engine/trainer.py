@@ -70,6 +70,7 @@ class Trainer:
         )
         self.lr_sched = make_lr_schedule(cfg, self.steps_per_epoch)
         self.ckpt = CheckpointManager(cfg.output_dir)
+        self.max_steps: Optional[int] = None  # set by cap_steps_per_epoch
         self.start_epoch = 0
         if continue_train:
             restored = self.ckpt.load_latest(self.state, self.data_rng)
@@ -92,15 +93,7 @@ class Trainer:
         self.step_fn = make_train_step(
             self.model, self.tx, self.cfg, self.mesh, donate=self.cfg.parallel.donate
         )
-        base_epoch = self.loader.epoch
-
-        def capped(e):
-            for i, b in enumerate(base_epoch(e)):
-                if i >= n:
-                    break
-                yield b
-
-        self.loader.epoch = capped
+        self.max_steps = n
 
     def load_pretrained_backbone(self, msgpack_path: str):
         """Install converted ImageNet weights (tools/convert_torch_ckpt.py);
@@ -142,7 +135,7 @@ class Trainer:
 
         for epoch in range(self.start_epoch, end_epoch):
             epoch_rng = jax.random.fold_in(self.data_rng, epoch)
-            it = prefetch_to_device(self.loader.epoch(epoch), sharding)
+            it = prefetch_to_device(self.loader.epoch(epoch, self.max_steps), sharding)
             window_start = _time.perf_counter()
             window_steps = 0
             for itr, (batch, _) in enumerate(it):

@@ -224,14 +224,23 @@ def make_eval_step(model: PoseNet, cfg: Config, mesh=None) -> Callable:
                 rng=None,
                 train=False,
             )
-        coords = infer(params, batch_stats, patch.image)
         if cfg.eval.flip_test:
-            flipped = patch.image[:, :, ::-1, :]
-            cf = infer(params, batch_stats, flipped)
+            # ONE 2B-batch dispatch for (image, x-mirrored image): on a
+            # tunneled platform two sequential forwards pay dispatch latency
+            # twice; interleaving on a new axis (not concat) keeps each
+            # device's rows local under the data-axis sharding.
+            img = patch.image
+            both = jnp.stack([img, img[:, :, ::-1, :]], axis=1)
+            both = both.reshape((-1,) + img.shape[1:])
+            c = infer(params, batch_stats, both)
+            c = c.reshape(img.shape[0], 2, joint_num, 3)
+            coords, cf = c[:, 0], c[:, 1]
             x = out_w - 1.0 - cf[..., 0]
             cf = jnp.concatenate([x[..., None], cf[..., 1:]], axis=-1)
             cf = cf[:, flip_perm, :]
             coords = (coords + cf) * 0.5
+        else:
+            coords = infer(params, batch_stats, patch.image)
         return coords, patch.joint_img, patch.joint_vis
 
     if mesh is None:
