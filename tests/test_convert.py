@@ -71,7 +71,10 @@ def test_posenet_parity_and_coords():
         t_hm = tm(torch.from_numpy(x))
         t_coords = tref.soft_argmax_3d(t_hm, joint_num, depth_dim).numpy()
 
-    params, stats = convert_posenet(tm.state_dict(), 18)
+    # bgr_input=False: both models see the identical array here, so the
+    # RGB<->BGR stem reversal (meant for real cv2-trained snapshots) must
+    # be disabled for a like-for-like parity check.
+    params, stats = convert_posenet(tm.state_dict(), 18, bgr_input=False)
     fm = PoseNet(resnet_type=18, joint_num=joint_num, depth_dim=depth_dim)
     f_hm = fm.apply(
         {"params": params, "batch_stats": stats}, jnp.asarray(_nhwc(x)), train=False
