@@ -52,12 +52,16 @@ def main():
     )
 
     skel = skeletons.H36M
-    ds = PoseDataset("Human36M", skel, make_synthetic(skel, 96, seed=0, img_size=320), True)
+    ds = PoseDataset(
+        "Human36M", skel, make_synthetic(skel, 3 * batch, seed=0, img_size=320), True
+    )
     loader = BatchLoader([ds], cfg, batch, train=True, num_workers=8)
     mesh = make_mesh()
     model = build_pose_net(cfg)
     state, tx = create_train_state(model, cfg, jax.random.key(0), len(loader), mesh=mesh)
-    step = make_train_step(model, tx, cfg, mesh, donate=False)
+    # Production step exactly as the Trainer runs it between log points:
+    # donated state (cfg.parallel.donate default) + loss-only metrics.
+    step = make_train_step(model, tx, cfg, mesh, donate=True, lean=True)
 
     sharding = batch_sharding(mesh)
     batches = [b for b, _ in prefetch_to_device(loader.epoch(0), sharding)][:2]

@@ -152,9 +152,15 @@ CONFIGS = {
     # the TPU-native mixed-precision recipe (MXU runs bf16 natively; the
     # precision-sensitive softmax stays fp32). Use the _fp32 variant to
     # reproduce the reference's full-fp32 arithmetic.
+    # Per-chip batch 128 = the reference's PUBLISHED global batch (32 per
+    # GPU x 4 GPUs under nn.DataParallel, main/config.py + README); one v5e
+    # chip stands in for the whole reference node, same global batch, same
+    # Adam lr=1e-3 schedule. Also measured fastest per-image on v5e
+    # (tools/bench_sweep.py: 1364 img/s at B=128 vs 1285 at B=32).
     "h36m3d_r50": _cfg(
         name="h36m3d_r50",
         model=ModelConfig(compute_dtype="bfloat16", fp32_logits=False),
+        optim=OptimConfig(batch_size_per_device=128),
     ),
     "h36m3d_r50_fp32": _cfg(name="h36m3d_r50_fp32"),
     # 4. ResNet-152 @ 288x384 input, mixed H36M+MPII batches, bf16 matmuls.

@@ -68,6 +68,11 @@ class Trainer:
         self.step_fn = make_train_step(
             self.model, self.tx, cfg, self.mesh, donate=cfg.parallel.donate
         )
+        # Same state math, loss-only metrics: used between log points, where
+        # grad_norm / per-axis errors would burn HBM bandwidth unread.
+        self.lean_step_fn = make_train_step(
+            self.model, self.tx, cfg, self.mesh, donate=cfg.parallel.donate, lean=True
+        )
         self.lr_sched = make_lr_schedule(cfg, self.steps_per_epoch)
         self.ckpt = CheckpointManager(cfg.output_dir)
         self.max_steps: Optional[int] = None  # set by cap_steps_per_epoch
@@ -92,6 +97,10 @@ class Trainer:
         self.state = self.state.replace(opt_state=self.tx.init(self.state.params))
         self.step_fn = make_train_step(
             self.model, self.tx, self.cfg, self.mesh, donate=self.cfg.parallel.donate
+        )
+        self.lean_step_fn = make_train_step(
+            self.model, self.tx, self.cfg, self.mesh,
+            donate=self.cfg.parallel.donate, lean=True,
         )
         self.max_steps = n
 
@@ -146,9 +155,11 @@ class Trainer:
                         jax.block_until_ready(self.state.params)
                         jax.profiler.stop_trace()
                         self.logger.info(f"profile written to {profile_dir}")
-                self.state, metrics = self.step_fn(self.state, batch, epoch_rng)
+                log_step = itr % log_every == 0 or itr == self.steps_per_epoch - 1
+                step_fn = self.step_fn if log_step else self.lean_step_fn
+                self.state, metrics = step_fn(self.state, batch, epoch_rng)
                 window_steps += 1
-                if itr % log_every == 0 or itr == self.steps_per_epoch - 1:
+                if log_step:
                     loss = float(metrics["loss"])  # sync point
                     gnorm = float(metrics["grad_norm"])
                     now = _time.perf_counter()

@@ -226,7 +226,9 @@ def fused_final_conv_integral(
     jd = kernel.shape[-1]
     assert jd == joint_num * depth_dim, (kernel.shape, joint_num, depth_dim)
     feat = features.reshape(b, h * w, c)
-    if fused_supported(joint_num, depth_dim, h * w, c):
+    from ihpr_tpu.ops.integral_pallas import _use_pallas
+
+    if _use_pallas() and fused_supported(joint_num, depth_dim, h * w, c):
         return _fused(feat, kernel, bias, joint_num, depth_dim, h, w)
     from ihpr_tpu.ops.integral_pallas import _dispatch
 

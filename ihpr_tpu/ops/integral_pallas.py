@@ -58,9 +58,25 @@ _PAD_VALUE = -1e30
 
 
 def _interpret() -> bool:
-    # Tests run on CPU (forced host devices); interpret mode keeps the same
-    # code path numerically live there.
+    # When the kernel does run off-TPU (IHPR_PALLAS=interpret, used by the
+    # kernel tests), Pallas interpret mode keeps the same code path
+    # numerically live there.
     return jax.default_backend() != "tpu"
+
+
+def _use_pallas() -> bool:
+    """Kernel routing policy. interpret-mode Pallas is ~1000x slower than
+    the plain-JAX composition at real shapes, so off-TPU backends default
+    to plain JAX; IHPR_PALLAS=interpret forces the kernels (tests),
+    IHPR_PALLAS=off forces the fallback everywhere (triage)."""
+    import os
+
+    mode = os.environ.get("IHPR_PALLAS", "auto")
+    if mode == "interpret":
+        return True
+    if mode == "off":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 # Per-chunk VMEM budget; the streaming state makes this independent of H*W.
@@ -346,9 +362,10 @@ def _dispatch(vol: jax.Array, joint_num: int, depth_dim: int, h: int, w: int) ->
     custom_vjp, so autodiff through it is handled by JAX; padded joints
     receive zero cotangent and contribute nothing to the backward kernel."""
     hw = h * w
-    if _supported(joint_num, depth_dim, hw):
+    use = _use_pallas()
+    if use and _supported(joint_num, depth_dim, hw):
         return _soft_argmax_fused(vol, joint_num, depth_dim, h, w)
-    j2 = _padded_joint_num(joint_num, depth_dim, hw)
+    j2 = _padded_joint_num(joint_num, depth_dim, hw) if use else None
     # Padding beyond 2x the real joints wastes more than the fusion saves.
     if j2 is not None and j2 <= 2 * joint_num:
         padded = jnp.pad(

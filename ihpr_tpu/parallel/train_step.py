@@ -100,11 +100,18 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
     debug_grads: bool = False,
+    lean: bool = False,
 ) -> Callable:
     """Returns step(state, batch_dict, rng) -> (state, metrics).
 
     batch_dict: device arrays from pipeline.prefetch_to_device —
     canvas/canvas_origin/canvas_scale/bbox/joints/joint_vis/joints_have_depth.
+
+    ``lean=True`` emits only the loss metric: grad_norm re-reads every
+    gradient from HBM and the per-axis error terms re-touch coords — dead
+    weight on the 49-of-50 steps whose metrics nobody reads. The Trainer
+    runs the lean step between log points (identical state math; only the
+    metrics dict differs).
     """
     flip_perm = skeletons.get_skeleton(cfg.data.trainset[0]).flip_permutation()
     joint_num = len(flip_perm)
@@ -154,15 +161,18 @@ def make_train_step(
         )(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        err_xy, err_z = joint_location_loss_components(
-            coords, patch.joint_img, patch.joint_vis, patch.joints_have_depth
-        )
-        metrics = {
-            "loss": loss,
-            "grad_norm": optax.global_norm(grads),
-            "err_xy_voxels": err_xy,
-            "err_z_voxels": err_z,
-        }
+        if lean:
+            metrics = {"loss": loss}
+        else:
+            err_xy, err_z = joint_location_loss_components(
+                coords, patch.joint_img, patch.joint_vis, patch.joints_have_depth
+            )
+            metrics = {
+                "loss": loss,
+                "grad_norm": optax.global_norm(grads),
+                "err_xy_voxels": err_xy,
+                "err_z_voxels": err_z,
+            }
         if debug_grads:  # test-only: raw grads for DP-equivalence checks
             metrics["grads"] = grads
         new_state = TrainState(

@@ -10,6 +10,10 @@ initialize lazily, on first ``jax.devices()``).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Keep the Pallas kernels live (interpret mode) in tests even though the
+# backend is CPU — off-TPU the production default routes to the plain-JAX
+# composition for speed (ops/integral_pallas.py:_use_pallas).
+os.environ.setdefault("IHPR_PALLAS", "interpret")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,239 @@
+#!/usr/bin/env python
+"""End-to-end accuracy evidence: synthetic train -> Tester MPJPE -> torch oracle.
+
+Closes the loop VERDICT r1 asked for: real H36M frames and ImageNet weights
+don't exist in this environment, so the strongest available accuracy proxy is
+
+  1. train the network on synthetic-but-learnable data (Gaussian blobs with
+     hue-coded joint identity and radius-coded depth,
+     datasets.render_synthetic_image) until it beats a stated MPJPE-mm bar
+     through the FULL eval stack (Tester -> warp-back -> pixel2cam ->
+     root-align -> per-action MPJPE; reference
+     data/Human36M/Human36M.py:evaluate), and
+  2. push the SAME trained weights through the torch-CPU reference network
+     (tools/torch_reference.py, reference main/model.py semantics) on the
+     SAME test patches and the SAME metric code path
+     (tester.metrics_from_voxel_preds), so the only difference is the
+     framework's forward — any MPJPE gap is ours.
+
+Usage (one command each):
+
+    python tools/accuracy_loop.py --preset tiny       # CPU, ~2 min
+    python tools/accuracy_loop.py --preset flagship   # real TPU, ~10 min
+
+Writes <output_dir>/accuracy_loop.json and prints a markdown table for
+PARITY.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _torch_oracle_preds(cfg, loader, joint_num, params, batch_stats):
+    """Run the exported network through torch_reference on the SAME host
+    patches the Tester feeds the TPU path (incl. flip-test averaging),
+    returning (N, J, 3) voxel coords in loader.index order."""
+    import torch
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import torch_reference as tref
+    from convert_torch_ckpt import export_posenet_to_torch
+
+    import jax
+
+    params = jax.tree.map(np.asarray, params)
+    batch_stats = jax.tree.map(np.asarray, batch_stats)
+    sd = export_posenet_to_torch(
+        params, batch_stats, cfg.model.resnet_type, cfg.model.num_deconv_layers
+    )
+    tm = tref.PoseNet(cfg.model.resnet_type, joint_num, cfg.data.depth_dim).eval()
+    tm.load_state_dict(sd)
+
+    from ihpr_tpu.data import skeletons
+
+    flip_perm = skeletons.get_skeleton(cfg.data.testset).flip_permutation()
+    out_w = cfg.data.output_shape[1]
+    mean = np.asarray(cfg.data.pixel_mean, np.float32) * 255.0
+    std = np.asarray(cfg.data.pixel_std, np.float32) * 255.0
+
+    n = len(loader.index)
+    preds = np.zeros((n, joint_num, 3), np.float32)
+    seen = np.zeros(n, bool)
+    with torch.no_grad():
+        for hb in loader.epoch():
+            # numpy twin of augment.finalize_patch (eval: color_scale == 1)
+            img = (hb.patch.astype(np.float32) - mean) / std
+            x = torch.from_numpy(np.ascontiguousarray(img.transpose(0, 3, 1, 2)))
+            hm = tm(x)
+            c = tref.soft_argmax_3d(hm, joint_num, cfg.data.depth_dim).numpy()
+            if cfg.eval.flip_test:
+                hmf = tm(torch.flip(x, dims=(3,)))
+                cf = tref.soft_argmax_3d(hmf, joint_num, cfg.data.depth_dim).numpy()
+                cf[..., 0] = out_w - 1.0 - cf[..., 0]
+                cf = cf[:, flip_perm, :]
+                c = (c + cf) * 0.5
+            preds[hb.sample_idx] = c
+            seen[hb.sample_idx] = True
+    assert seen.all()
+    return preds
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--preset", choices=["tiny", "flagship"], default="tiny")
+    ap.add_argument("--train_size", type=int, default=None)
+    ap.add_argument("--test_size", type=int, default=None)
+    ap.add_argument("--end_epoch", type=int, default=None)
+    ap.add_argument("--mpjpe_bar_mm", type=float, default=None)
+    ap.add_argument("--oracle_tol_mm", type=float, default=1.0)
+    ap.add_argument("--output_dir", default=None)
+    ap.add_argument("--skip_oracle", action="store_true")
+    args = ap.parse_args()
+
+    if args.preset == "tiny":
+        # CPU-sized: R18 @ 64^2 input, 16^3 volume. jax must be forced to
+        # CPU before any backend touch (axon is the frozen default).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from ihpr_tpu.config import DataConfig, ModelConfig, OptimConfig, get_config
+    from ihpr_tpu.data import skeletons
+    from ihpr_tpu.data.datasets import PoseDataset, make_synthetic
+    from ihpr_tpu.engine.tester import Tester, metrics_from_voxel_preds
+    from ihpr_tpu.engine.trainer import Trainer
+
+    if args.preset == "tiny":
+        cfg = get_config("h36m3d_r50").replace(
+            name="accuracy_tiny",
+            model=ModelConfig(resnet_type=18),
+            data=DataConfig(
+                trainset=("Human36M",),
+                input_shape=(64, 64),
+                output_shape=(16, 16),
+                depth_dim=16,
+                rot_prob=0.0,  # keep the tiny budget on the main task
+            ),
+            optim=OptimConfig(
+                batch_size_per_device=32, end_epoch=10, lr=1e-3, lr_dec_epoch=(8,)
+            ),
+        )
+        defaults = dict(train_size=512, test_size=128, end_epoch=10, bar=90.0)
+        img_size = 160
+    else:
+        # The flagship h36m3d_r50 config verbatim (R50 @ 256^2, 64^3 volume,
+        # bf16 convs + fp32 integral), trained only long enough to beat the
+        # bar on synthetic data.
+        cfg = get_config("h36m3d_r50").replace(name="accuracy_flagship")
+        cfg = cfg.replace(
+            data=dataclasses.replace(
+                cfg.data, trainset=("Human36M",), rot_prob=0.0
+            ),
+            optim=dataclasses.replace(
+                cfg.optim, end_epoch=12, lr_dec_epoch=(10,)
+            ),
+        )
+        defaults = dict(train_size=2048, test_size=256, end_epoch=12, bar=60.0)
+        img_size = 320
+
+    train_size = args.train_size or defaults["train_size"]
+    test_size = args.test_size or defaults["test_size"]
+    end_epoch = args.end_epoch or defaults["end_epoch"]
+    bar = args.mpjpe_bar_mm or defaults["bar"]
+    out_dir = args.output_dir or f"/tmp/accuracy_{args.preset}"
+    cfg = cfg.replace(output_dir=out_dir)
+
+    skel = skeletons.H36M
+    train_ds = PoseDataset(
+        "Human36M", skel, make_synthetic(skel, train_size, seed=11, img_size=img_size), True
+    )
+    test_ds = PoseDataset(
+        "Human36M", skel, make_synthetic(skel, test_size, seed=22, img_size=img_size), False
+    )
+
+    t0 = time.perf_counter()
+    trainer = Trainer(cfg, datasets=[train_ds], num_workers=4)
+    state = trainer.train(end_epoch=end_epoch)
+    train_s = time.perf_counter() - t0
+
+    tester = Tester(cfg, dataset=test_ds, state=state, num_workers=4)
+    t0 = time.perf_counter()
+    metrics = tester.evaluate()
+    eval_s = time.perf_counter() - t0
+    ours = metrics["MPJPE total"]
+    print(f"\nours (TPU-path) MPJPE total: {ours:.2f} mm (bar {bar:.0f} mm)")
+
+    result = {
+        "preset": args.preset,
+        "config": cfg.name,
+        "resnet": cfg.model.resnet_type,
+        "input_shape": list(cfg.data.input_shape),
+        "depth_dim": cfg.data.depth_dim,
+        "train_size": train_size,
+        "test_size": test_size,
+        "end_epoch": end_epoch,
+        "train_seconds": round(train_s, 1),
+        "eval_seconds": round(eval_s, 1),
+        "mpjpe_bar_mm": bar,
+        "mpjpe_ours_mm": round(ours, 2),
+        "metrics_ours": {k: round(v, 2) for k, v in metrics.items()},
+    }
+
+    if not args.skip_oracle:
+        if cfg.model.s2d_stem:
+            raise SystemExit("oracle comparison needs s2d_stem=False")
+        t0 = time.perf_counter()
+        preds_torch = _torch_oracle_preds(
+            cfg, tester.loader, test_ds.joint_num, state.params, state.batch_stats
+        )
+        oracle_s = time.perf_counter() - t0
+        tm_metrics, _, _ = metrics_from_voxel_preds(
+            cfg, tester.loader, test_ds, preds_torch
+        )
+        torch_mpjpe = tm_metrics["MPJPE total"]
+        gap = abs(ours - torch_mpjpe)
+        print(
+            f"torch-CPU oracle MPJPE total: {torch_mpjpe:.2f} mm "
+            f"(|gap| {gap:.3f} mm, tol {args.oracle_tol_mm} mm, {oracle_s:.0f}s)"
+        )
+        result.update(
+            mpjpe_torch_mm=round(torch_mpjpe, 2),
+            mpjpe_gap_mm=round(gap, 3),
+            oracle_tol_mm=args.oracle_tol_mm,
+            oracle_seconds=round(oracle_s, 1),
+            metrics_torch={k: round(v, 2) for k, v in tm_metrics.items()},
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/accuracy_loop.json", "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {out_dir}/accuracy_loop.json")
+
+    # PARITY.md-ready row
+    tm = result.get("mpjpe_torch_mm", float("nan"))
+    print(
+        f"| {args.preset} | r{cfg.model.resnet_type} @ "
+        f"{cfg.data.input_shape[0]}^2, {cfg.data.depth_dim}^3 vol | "
+        f"{train_size} imgs x {end_epoch} ep | {ours:.1f} | {tm:.1f} | "
+        f"{result.get('mpjpe_gap_mm', float('nan')):.3f} |"
+    )
+
+    ok = ours <= bar
+    if not args.skip_oracle:
+        ok = ok and result["mpjpe_gap_mm"] <= args.oracle_tol_mm
+    print("accuracy_loop:", "PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -13,13 +13,16 @@ Variants are named on the command line; default runs the full grid.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
 
-def measure(cfg, iters=30, warmup=3, donate=False, tag=""):
+def measure(cfg, iters=30, warmup=3, donate=False, lean=False, tag=""):
     import jax
 
     from ihpr_tpu.data import skeletons
@@ -41,7 +44,7 @@ def measure(cfg, iters=30, warmup=3, donate=False, tag=""):
     mesh = make_mesh()
     model = build_pose_net(cfg)
     state, tx = create_train_state(model, cfg, jax.random.key(0), len(loader), mesh=mesh)
-    step = make_train_step(model, tx, cfg, mesh, donate=donate)
+    step = make_train_step(model, tx, cfg, mesh, donate=donate, lean=lean)
     sharding = batch_sharding(mesh)
     batches = [b for b, _ in prefetch_to_device(loader.epoch(0), sharding)][:2]
 
@@ -62,7 +65,7 @@ def measure(cfg, iters=30, warmup=3, donate=False, tag=""):
     dt = (time.perf_counter() - t0) / iters
     ips = batch / dt / n_chips
     print(
-        f"[{tag}] B/dev={cfg.optim.batch_size_per_device} donate={donate}: "
+        f"[{tag}] B/dev={cfg.optim.batch_size_per_device} donate={donate} lean={lean}: "
         f"compile {compile_s:.0f}s, {dt * 1e3:.2f} ms/step, {ips:.1f} img/s/chip",
         flush=True,
     )
@@ -98,6 +101,12 @@ def main():
         "base64": lambda: (with_bs(base, 64), False),
         "s2d64": lambda: (with_bs(with_model(base, s2d_stem=True), 64), False),
         "base128": lambda: (with_bs(base, 128), False),
+        "base128_donate": lambda: (with_bs(base, 128), True),
+        "s2d128": lambda: (with_bs(with_model(base, s2d_stem=True), 128), False),
+        "base256": lambda: (with_bs(base, 256), False),
+        "lean128_donate": lambda: (with_bs(base, 128), True, True),
+        "lean256_donate": lambda: (with_bs(base, 256), True, True),
+        "s2d_lean128_donate": lambda: (with_bs(with_model(base, s2d_stem=True), 128), True, True),
     }
     names = args.variants or list(grid)
     results = {}
@@ -105,9 +114,10 @@ def main():
         if name not in grid:
             print(f"unknown variant {name}; have {list(grid)}", file=sys.stderr)
             continue
-        cfg, donate = grid[name]()
+        spec = grid[name]()
+        cfg, donate, lean = spec if len(spec) == 3 else (*spec, False)
         try:
-            results[name] = measure(cfg, iters=args.iters, donate=donate, tag=name)
+            results[name] = measure(cfg, iters=args.iters, donate=donate, lean=lean, tag=name)
         except Exception as e:  # keep sweeping on OOM etc.
             print(f"[{name}] FAILED: {type(e).__name__}: {e}", flush=True)
     print("== sweep done ==")
