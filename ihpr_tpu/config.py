@@ -103,7 +103,9 @@ class EvalConfig:
 
     flip_test: bool = True
     protocol: int = 2  # H36M protocol: 1 = PA-MPJPE (S11), 2 = MPJPE (S9, S11)
-    batch_size_per_device: int = 64
+    # 128 measured fastest on v5e (tools/eval_bench.py: 1688 img/s/chip vs
+    # 1112 at 64 — eval is dispatch-latency-bound on the tunnel).
+    batch_size_per_device: int = 128
 
 
 @dataclasses.dataclass(frozen=True)

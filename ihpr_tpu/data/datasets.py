@@ -427,6 +427,28 @@ def render_synthetic_image(sample: dict, sigma: float = 4.0) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def materialize_synthetic(
+    samples: Sequence[dict], out_dir: str, quality: int = 95
+) -> List[dict]:
+    """Write each synthetic sample's rendered frame as a JPEG and point its
+    ``img_path`` at it, so the loader exercises the PRODUCTION input path
+    (fused libjpeg decode + C++ warp) instead of per-epoch Python
+    rendering. Returns new sample dicts; idempotent (files are reused if
+    already present)."""
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    out = []
+    for s in samples:
+        path = os.path.join(out_dir, f"synth_{s['synth_seed']}.jpg")
+        if not os.path.exists(path):
+            img = render_synthetic_image(s)
+            ok = cv2.imwrite(path, img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, quality])
+            assert ok, path
+        out.append({**s, "img_path": path})
+    return out
+
+
 # ---------------------------------------------------------------------------
 
 

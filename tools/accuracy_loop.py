@@ -154,12 +154,17 @@ def main():
     cfg = cfg.replace(output_dir=out_dir)
 
     skel = skeletons.H36M
-    train_ds = PoseDataset(
-        "Human36M", skel, make_synthetic(skel, train_size, seed=11, img_size=img_size), True
-    )
-    test_ds = PoseDataset(
-        "Human36M", skel, make_synthetic(skel, test_size, seed=22, img_size=img_size), False
-    )
+    train_samples = make_synthetic(skel, train_size, seed=11, img_size=img_size)
+    test_samples = make_synthetic(skel, test_size, seed=22, img_size=img_size)
+    if args.preset == "flagship":
+        # Train from real JPEG files through the production input path
+        # (fused decode + C++ warp) instead of per-epoch Python rendering.
+        from ihpr_tpu.data.datasets import materialize_synthetic
+
+        train_samples = materialize_synthetic(train_samples, f"{out_dir}/imgs")
+        test_samples = materialize_synthetic(test_samples, f"{out_dir}/imgs")
+    train_ds = PoseDataset("Human36M", skel, train_samples, True)
+    test_ds = PoseDataset("Human36M", skel, test_samples, False)
 
     t0 = time.perf_counter()
     trainer = Trainer(cfg, datasets=[train_ds], num_workers=4)

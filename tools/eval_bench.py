@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Eval FPS + loader-included train throughput on the real chip.
+
+Two numbers bench.py does not cover:
+
+1. **Eval FPS** — the Tester's real loop: per batch one jitted flip-test
+   forward (a single 2B dispatch since r2) followed by a blocking
+   device_get of the coords. Unlike train, eval is latency-bound on the
+   tunnel: the per-batch pull serializes dispatch-compute-fetch, which is
+   exactly what the Tester pays, so that is what we measure (batches
+   pre-staged on device; the host pipeline overlaps in real runs).
+
+2. **Train throughput including the input pipeline** — the full
+   BatchLoader (synthetic render + C++ warp + normalize) feeding
+   prefetch_to_device, NOT pre-staged batches. On this 1-core container
+   the host is the bound; the number is a serial lower bound that scales
+   with real host cores (the loader is a thread pool + OpenMP warp).
+
+    PYTHONUNBUFFERED=1 python tools/eval_bench.py > /tmp/eval_bench.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    from ihpr_tpu.config import get_config
+    from ihpr_tpu.data import skeletons
+    from ihpr_tpu.data.datasets import PoseDataset, make_synthetic
+    from ihpr_tpu.data.pipeline import BatchLoader, prefetch_to_device
+    from ihpr_tpu.models.pose_net import build_pose_net
+    from ihpr_tpu.parallel import (
+        batch_sharding,
+        create_train_state,
+        make_eval_step,
+        make_mesh,
+        make_train_step,
+    )
+
+    cfg = get_config("h36m3d_r50")
+    n_chips = len(jax.devices())
+    mesh = make_mesh()
+    model = build_pose_net(cfg)
+    state, tx = create_train_state(model, cfg, jax.random.key(0), 10, mesh=mesh)
+    sharding = batch_sharding(mesh)
+    skel = skeletons.H36M
+
+    # ---- 1. eval FPS (Tester loop shape: dispatch + device_get per batch)
+    for eval_bs in (64, 128):
+        B = eval_bs * n_chips
+        ds = PoseDataset(
+            "Human36M", skel, make_synthetic(skel, 2 * B, seed=0, img_size=320), False
+        )
+        loader = BatchLoader([ds], cfg, B, train=False, num_workers=8)
+        eval_step = make_eval_step(model, cfg, mesh)
+        batches = [b for b, _ in prefetch_to_device(loader.epoch(), sharding)][:2]
+
+        t0 = time.perf_counter()
+        coords, _, _ = eval_step(state.params, state.batch_stats, batches[0])
+        _ = np.asarray(coords)
+        print(f"eval B={B}: compile {time.perf_counter() - t0:.0f}s", flush=True)
+        for i in range(2):
+            c, _, _ = eval_step(state.params, state.batch_stats, batches[i % 2])
+            _ = np.asarray(c)
+        iters = 20
+        t0 = time.perf_counter()
+        for i in range(iters):
+            c, _, _ = eval_step(state.params, state.batch_stats, batches[i % 2])
+            _ = np.asarray(c)  # blocking pull per batch, like the Tester
+        dt = (time.perf_counter() - t0) / iters
+        print(
+            f"[eval flip-test B={B}] {dt * 1e3:.1f} ms/batch = "
+            f"{B / dt / n_chips:.0f} img/s/chip eval FPS",
+            flush=True,
+        )
+
+    # ---- 2. loader-included train throughput (real input pipeline)
+    # Synthetic frames are materialized to JPEG so the loader runs the
+    # PRODUCTION path (fused libjpeg decode + C++ OpenMP warp), not the
+    # per-epoch Python renderer.
+    from ihpr_tpu.data.datasets import materialize_synthetic
+
+    B = cfg.optim.batch_size_per_device * n_chips
+    n_samples = 8 * B
+    ds = PoseDataset(
+        "Human36M",
+        skel,
+        materialize_synthetic(
+            make_synthetic(skel, n_samples, seed=1, img_size=320), "/tmp/eval_bench_jpg"
+        ),
+        True,
+    )
+    loader = BatchLoader([ds], cfg, B, train=True, num_workers=8)
+    step = make_train_step(model, tx, cfg, mesh, donate=True, lean=True)
+    rng = jax.random.key(1)
+
+    # compile + warm the loader's lazily-built epoch state
+    it = prefetch_to_device(loader.epoch(0), sharding)
+    batch, _ = next(it)
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, rng)
+    _ = float(metrics["loss"])
+    print(f"train compile {time.perf_counter() - t0:.0f}s", flush=True)
+
+    steps = 0
+    t0 = time.perf_counter()
+    for epoch in (1, 2):
+        for batch, _ in prefetch_to_device(loader.epoch(epoch), sharding):
+            state, metrics = step(state, batch, rng)
+            steps += 1
+    _ = float(metrics["loss"])  # one final pull forces the chain
+    dt = (time.perf_counter() - t0) / steps
+    host_cores = os.cpu_count()
+    print(
+        f"[train incl. input pipeline, B={B}, {host_cores} host core(s)] "
+        f"{dt * 1e3:.1f} ms/step = {B / dt / n_chips:.0f} img/s/chip",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
