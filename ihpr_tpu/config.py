@@ -84,6 +84,11 @@ class OptimConfig:
     batch_size_per_device: int = 32
     weight_decay: float = 0.0
     grad_clip_norm: Optional[float] = None
+    # Snapshot policy. Reference semantics (common/base.py:save_model) are
+    # every epoch / keep all; on slow-IO hosts a full snapshot can outlast
+    # the epoch it covers, so production runs can thin them out.
+    snapshot_interval: int = 1  # save every N epochs (last epoch always)
+    snapshot_keep: Optional[int] = None  # keep newest N on disk (None = all)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -359,6 +359,7 @@ def make_synthetic(
     seed: int = 0,
     img_size: int = 400,
     with_depth: Optional[bool] = None,
+    easy_depth: bool = False,
 ) -> List[dict]:
     """Random but geometrically consistent samples; images are rendered on
     demand by ``render_synthetic_image`` (Gaussian blobs at joints), so a
@@ -375,7 +376,17 @@ def make_synthetic(
         spread = rng.uniform(40, 80)
         xy = center + rng.randn(j, 2) * spread
         xy = np.clip(xy, 5, img_size - 5)
-        z = rng.uniform(-600, 600, (j, 1)) if with_depth else np.zeros((j, 1))
+        if not with_depth:
+            z = np.zeros((j, 1))
+        elif easy_depth:
+            # Depth as a deterministic function of image position: still
+            # exercises the full 3D chain (z supervision -> integral z ->
+            # warp-back -> pixel2cam) but the visual cue is the blob's
+            # location instead of its ~1 px radius, which the 4x-downsampled
+            # heatmap cannot resolve — accuracy probes use this mode.
+            z = ((xy[:, :1] / img_size) - 0.5) * 1100.0
+        else:
+            z = rng.uniform(-600, 600, (j, 1))
         joint_img = np.concatenate([xy, z], 1).astype(np.float32)
         bbox = _bbox_from_joints(joint_img)
         samples.append(
@@ -406,6 +417,7 @@ def render_synthetic_image(sample: dict, sigma: float = 4.0) -> np.ndarray:
     is inferable from pixels and a trained model's MPJPE is meaningful."""
     h, w = sample["img_shape"]
     img = np.zeros((h, w, 3), np.float32)
+    wmax = np.zeros((h, w), np.float32)  # per-pixel winning blob weight
     joints = sample["joint_img"]
     n = len(joints)
     for j, (x, y, z) in enumerate(joints):
@@ -423,7 +435,13 @@ def render_synthetic_image(sample: dict, sigma: float = 4.0) -> np.ndarray:
         rgb = 128 + 120 * np.array(
             [np.cos(ang), np.cos(ang - 2 * np.pi / 3), np.cos(ang + 2 * np.pi / 3)]
         )
-        img[y0:y1, x0:x1] += blob[..., None] * rgb
+        # Max compositing: where blobs overlap, the locally-stronger blob
+        # keeps its pure hue (additive blending clipped at 255 and turned
+        # crowded regions into unidentifiable color soup — nets plateaued
+        # at the center-guess loss on such frames).
+        win = blob > wmax[y0:y1, x0:x1]
+        np.copyto(img[y0:y1, x0:x1], blob[..., None] * rgb, where=win[..., None])
+        np.maximum(wmax[y0:y1, x0:x1], blob, out=wmax[y0:y1, x0:x1])
     return np.clip(img, 0, 255).astype(np.uint8)
 
 

@@ -19,10 +19,21 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, output_dir: str):
+    def __init__(self, output_dir: str, keep: Optional[int] = None):
+        """``keep``: retain only the newest N snapshots on disk (None =
+        keep every epoch, the reference's behavior)."""
         self.dump_dir = os.path.abspath(os.path.join(output_dir, "model_dump"))
+        self.keep = keep
         os.makedirs(self.dump_dir, exist_ok=True)
         self._ckpt = ocp.StandardCheckpointer()
+
+    def _epochs_on_disk(self):
+        return sorted(
+            int(m.group(1))
+            for name in os.listdir(self.dump_dir)
+            if (m := re.fullmatch(r"snapshot_(\d+)", name))
+            and os.path.isdir(os.path.join(self.dump_dir, name))
+        )
 
     def _path(self, epoch: int) -> str:
         return os.path.join(self.dump_dir, f"snapshot_{epoch}")
@@ -33,6 +44,13 @@ class CheckpointManager:
         would dwarf the step time). The previous save is drained first;
         call ``wait()`` before process exit."""
         self._ckpt.wait_until_finished()  # at most one save in flight
+        if self.keep is not None:
+            # The drain above guarantees every dir on disk is fully
+            # written; make room so keep-1 old + the new save = keep.
+            import shutil
+
+            for e in self._epochs_on_disk()[: -max(self.keep - 1, 0) or None]:
+                shutil.rmtree(self._path(e), ignore_errors=True)
         payload = {
             "state": jax.device_get(state),
             "rng": np.asarray(jax.random.key_data(rng)),
@@ -45,13 +63,8 @@ class CheckpointManager:
 
     def latest_epoch(self) -> Optional[int]:
         self._ckpt.wait_until_finished()  # make in-flight saves visible
-        epochs = [
-            int(m.group(1))
-            for name in os.listdir(self.dump_dir)
-            if (m := re.fullmatch(r"snapshot_(\d+)", name))
-            and os.path.isdir(os.path.join(self.dump_dir, name))
-        ]
-        return max(epochs) if epochs else None
+        epochs = self._epochs_on_disk()
+        return epochs[-1] if epochs else None
 
     def load(self, epoch: int, template: Any, rng_template: jax.Array) -> Tuple[Any, jax.Array, int]:
         self._ckpt.wait_until_finished()

@@ -74,7 +74,7 @@ class Trainer:
             self.model, self.tx, cfg, self.mesh, donate=cfg.parallel.donate, lean=True
         )
         self.lr_sched = make_lr_schedule(cfg, self.steps_per_epoch)
-        self.ckpt = CheckpointManager(cfg.output_dir)
+        self.ckpt = CheckpointManager(cfg.output_dir, keep=cfg.optim.snapshot_keep)
         self.max_steps: Optional[int] = None  # set by cap_steps_per_epoch
         self.start_epoch = 0
         if continue_train:
@@ -177,7 +177,10 @@ class Trainer:
                         f"{itr_time * 1e3:.1f} ms/itr {speed:.1f} img/s "
                         f"({speed / n_dev:.1f} img/s/chip)"
                     )
-            self.ckpt.save(epoch, self.state, self.data_rng)
-            self.logger.info(f"saving snapshot_{epoch} (async)")
+            if (epoch + 1) % self.cfg.optim.snapshot_interval == 0 or (
+                epoch == end_epoch - 1
+            ):
+                self.ckpt.save(epoch, self.state, self.data_rng)
+                self.logger.info(f"saving snapshot_{epoch} (async)")
         self.ckpt.wait()
         return self.state

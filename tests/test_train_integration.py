@@ -177,6 +177,47 @@ def test_checkpoint_roundtrip_and_resume(tiny_cfg, tiny_data):
         shutil.rmtree(tmp)
 
 
+def test_checkpoint_retention_keep(tiny_cfg, tiny_data):
+    """keep=N retains only the newest N snapshots; resume still works
+    from the latest survivor (OptimConfig.snapshot_keep)."""
+    mesh = make_mesh(1)
+    _, model, state, _, step = _make_all(tiny_cfg, tiny_data, mesh, 4)
+    rng = jax.random.key(3)
+    tmp = tempfile.mkdtemp()
+    try:
+        ckpt = CheckpointManager(tmp, keep=2)
+        for e in range(4):
+            ckpt.save(e, state, rng)
+        ckpt.wait()
+        assert ckpt._epochs_on_disk() == [2, 3]
+        assert ckpt.latest_epoch() == 3
+        template, _ = create_train_state(model, tiny_cfg, jax.random.key(9), 10)
+        _, _, epoch = ckpt.load_latest(template, jax.random.key(9))
+        assert epoch == 3
+    finally:
+        shutil.rmtree(tmp)
+
+
+def test_trainer_snapshot_interval(tiny_cfg, tiny_data, tmp_path):
+    """snapshot_interval thins per-epoch saves; the final epoch is always
+    saved so --continue/Tester see the end state."""
+    import dataclasses
+
+    from ihpr_tpu.engine.trainer import Trainer
+
+    cfg = tiny_cfg.replace(
+        output_dir=str(tmp_path),
+        optim=dataclasses.replace(
+            tiny_cfg.optim, end_epoch=5, snapshot_interval=2, snapshot_keep=2
+        ),
+    )
+    tr = Trainer(cfg, datasets=[tiny_data], num_workers=0)
+    tr.cap_steps_per_epoch(1)
+    tr.train(end_epoch=5)
+    # saved at epochs 1, 3 (interval) and 4 (final); keep=2 -> {3, 4}
+    assert tr.ckpt._epochs_on_disk() == [3, 4]
+
+
 def test_eval_step_flip_test(tiny_cfg, tiny_data):
     mesh = make_mesh(2)
     cfg = tiny_cfg
