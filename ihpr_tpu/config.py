@@ -33,6 +33,13 @@ class ModelConfig:
     head_final_init_std: float = 0.001  # reference: normal(std=0.001) head init
     # Compute dtype for conv/matmul. Params stay fp32; bf16 feeds the MXU.
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    # XLA matmul/conv precision for fp32 operands (None = platform
+    # default). On TPU the default quantizes fp32 conv inputs to bf16 on
+    # the MXU (~0.25 voxel coordinate shift vs true fp32); "highest" makes
+    # fp32 mean fp32 — the parity configs set it. Applied process-globally
+    # by Trainer/Tester/PoseServer (jax_default_matmul_precision); the
+    # Pallas kernels pin their own precision from operand dtype.
+    matmul_precision: Optional[str] = None  # None | "default" | "highest"
     # Emit heatmap logits in fp32 (default: the volumetric softmax is
     # precision-sensitive; bf16 logits shift coords ~0.02 voxel = ~0.6 mm
     # but halve the integral kernel's HBM traffic).
@@ -146,6 +153,7 @@ CONFIGS = {
     # 1. ResNet-50 + 64^3 soft-argmax, single-image CPU forward (parity).
     "parity_r50": _cfg(
         name="parity_r50",
+        model=ModelConfig(matmul_precision="highest"),
         data=DataConfig(trainset=("Human36M",), use_aug=False),
         optim=OptimConfig(batch_size_per_device=1),
     ),
@@ -169,7 +177,11 @@ CONFIGS = {
         model=ModelConfig(compute_dtype="bfloat16", fp32_logits=False),
         optim=OptimConfig(batch_size_per_device=128),
     ),
-    "h36m3d_r50_fp32": _cfg(name="h36m3d_r50_fp32"),
+    # "highest" so fp32 means fp32 on the MXU (the default bf16-quantizes
+    # conv inputs; measured ~9 mm MPJPE of artificial deviation vs torch).
+    "h36m3d_r50_fp32": _cfg(
+        name="h36m3d_r50_fp32", model=ModelConfig(matmul_precision="highest")
+    ),
     # 4. ResNet-152 @ 288x384 input, mixed H36M+MPII batches, bf16 matmuls.
     "h36m3d_r152_384": _cfg(
         name="h36m3d_r152_384",
@@ -193,3 +205,15 @@ def get_config(name: str) -> Config:
     if name not in CONFIGS:
         raise KeyError(f"unknown config {name!r}; available: {sorted(CONFIGS)}")
     return CONFIGS[name]
+
+
+def apply_matmul_precision(cfg: Config) -> None:
+    """Install cfg.model.matmul_precision as the process-wide default
+    (no-op when None). Called by Trainer/Tester/PoseServer so CLI users of
+    the parity configs get true-fp32 arithmetic without extra flags."""
+    if cfg.model.matmul_precision:
+        import jax
+
+        jax.config.update(
+            "jax_default_matmul_precision", cfg.model.matmul_precision
+        )

@@ -48,6 +48,9 @@ class PoseServer:
         flip_test: Optional[bool] = None,
     ):
         self.cfg = cfg
+        from ihpr_tpu.config import apply_matmul_precision
+
+        apply_matmul_precision(cfg)
         self.skeleton = skeletons.get_skeleton(cfg.data.testset)
         self.model: PoseNet = build_pose_net(cfg, self.skeleton.joint_num)
         self.params = params

@@ -93,6 +93,9 @@ class Tester:
         synthetic_size: int = 128,
     ):
         self.cfg = cfg
+        from ihpr_tpu.config import apply_matmul_precision
+
+        apply_matmul_precision(cfg)
         self.logger = colorlogger(f"{cfg.output_dir}/log", "test_logs.txt")
         if dataset is None:
             dataset = build_dataset(cfg.data.testset, "test", cfg, data_root, synthetic_size)

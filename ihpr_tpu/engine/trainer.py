@@ -39,6 +39,9 @@ class Trainer:
         synthetic_size: int = 512,
     ):
         self.cfg = cfg
+        from ihpr_tpu.config import apply_matmul_precision
+
+        apply_matmul_precision(cfg)
         self.logger = colorlogger(f"{cfg.output_dir}/log", "train_logs.txt")
 
         if datasets is None:

@@ -56,15 +56,33 @@ def fused_supported(joint_num: int, depth_dim: int, hw: int, channels: int) -> b
     )
 
 
+def _dot_precision(dtype):
+    """Kernel matmul precision, pinned from the operand dtype so the
+    ambient ``jax_default_matmul_precision`` cannot leak in (Mosaic
+    rejects fp32 contract precision on bf16 operands): fp32 operands run
+    HIGHEST — fp32 must MEAN fp32 in this kernel, matching the parity
+    configs — and bf16 operands run the native bf16 MXU pass."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
 def _fwd_kernel(
     feat_ref, w_ref, b_ref, seg_ref, vout_ref, m_ref, macc_ref, acc_ref,
     *, d, w, chunk
 ):
     feat = feat_ref[0]  # (chunk, C) compute dtype
     v = (
-        jnp.dot(feat, w_ref[...], preferred_element_type=jnp.float32)
+        jnp.dot(
+            feat,
+            w_ref[...],
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(feat.dtype),
+        )
         + b_ref[0:1].astype(jnp.float32)
-    )  # (chunk, J*D) fp32 logits, MXU-native precision (== XLA conv)
+    )  # (chunk, J*D) fp32 logits
     _online_stats_tail(
         v, seg_ref, vout_ref, m_ref, macc_ref, acc_ref, d=d, w=w, chunk=chunk
     )
@@ -80,8 +98,9 @@ def _bwd_kernel(
     nc = pl.num_programs(1)
     feat = feat_ref[0]  # (chunk, C)
     wmat = w_ref[...]  # (C, J*D)
+    prec = _dot_precision(feat.dtype)
     v = (
-        jnp.dot(feat, wmat, preferred_element_type=jnp.float32)
+        jnp.dot(feat, wmat, preferred_element_type=jnp.float32, precision=prec)
         + b_ref[0:1].astype(jnp.float32)
     )
     dv = _dv_from_rows(v, rows_ref[0], w=w, chunk=chunk)  # (chunk, J*D) fp32
@@ -89,13 +108,21 @@ def _bwd_kernel(
 
     # dfeat = dv @ W^T (contract the J*D axis; no transpose materialized)
     dfeat_ref[0] = jax.lax.dot_general(
-        dvc, wmat, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        dvc,
+        wmat,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
     ).astype(dfeat_ref.dtype)
 
     # dW += feat^T @ dv ; db += colsum(dv) — accumulated across the WHOLE
     # grid (batch and chunks run sequentially on one core).
     dw_c = jax.lax.dot_general(
-        feat, dvc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        feat,
+        dvc,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
     )  # (C, J*D)
     db_c = jnp.sum(dv, axis=0, keepdims=True)  # (1, J*D)
     first = jnp.logical_and(bi == 0, ci == 0)
