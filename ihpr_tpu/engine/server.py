@@ -68,7 +68,6 @@ class PoseServer:
 
     def _forward(self, params, batch_stats, patch_u8, color_scale):
         image = finalize_patch(patch_u8, color_scale, self.cfg.data)
-        j, d = self.skeleton.joint_num, self.cfg.data.depth_dim
 
         def infer(img):
             return self.model.apply(
@@ -78,14 +77,18 @@ class PoseServer:
                 method=self.model.coords,
             )
 
-        coords = infer(image)
-        if self.flip_test:
-            cf = infer(image[:, :, ::-1, :])
-            x = self.cfg.data.output_shape[1] - 1.0 - cf[..., 0]
-            cf = jnp.concatenate([x[..., None], cf[..., 1:]], axis=-1)
-            cf = cf[:, self.flip_perm, :]
-            coords = (coords + cf) * 0.5
-        return coords
+        if not self.flip_test:
+            return infer(image)
+        # One 2B dispatch instead of two B dispatches: on the tunneled
+        # platform per-dispatch latency dominates small batches (same
+        # treatment as parallel/train_step.py:make_eval_step).
+        b = image.shape[0]
+        both = infer(jnp.concatenate([image, image[:, :, ::-1, :]], axis=0))
+        coords, cf = both[:b], both[b:]
+        x = self.cfg.data.output_shape[1] - 1.0 - cf[..., 0]
+        cf = jnp.concatenate([x[..., None], cf[..., 1:]], axis=-1)
+        cf = cf[:, self.flip_perm, :]
+        return (coords + cf) * 0.5
 
     def predict_patches(self, patches_u8: np.ndarray) -> np.ndarray:
         """(N, in_h, in_w, 3) uint8 pre-cropped patches -> (N, J, 3) voxel

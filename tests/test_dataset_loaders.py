@@ -187,3 +187,53 @@ def test_h36m_loader_through_batchloader(h36m_root, monkeypatch):
     assert hb.patch.shape == (4, 256, 256, 3)
     assert np.isfinite(hb.joint_img).all()
     assert hb.joints_have_depth.all()
+
+
+def test_make_synthetic_easy_depth_and_materialize(tmp_path):
+    """easy_depth codes z as a deterministic function of x (accuracy-probe
+    mode); materialize_synthetic writes decodable JPEGs, points img_path at
+    them, and is idempotent."""
+    import os
+
+    from ihpr_tpu.data.datasets import (
+        make_synthetic,
+        materialize_synthetic,
+        render_synthetic_image,
+    )
+
+    samples = make_synthetic(skeletons.H36M, 3, seed=7, img_size=160, easy_depth=True)
+    for s in samples:
+        j = s["joint_img"]
+        expected = ((j[:, 0] / 160.0) - 0.5) * 1100.0
+        np.testing.assert_allclose(j[:, 2], expected, atol=1e-4)
+
+    out = materialize_synthetic(samples, str(tmp_path))
+    mtimes = {}
+    for s0, s1 in zip(samples, out):
+        assert os.path.exists(s1["img_path"])
+        mtimes[s1["img_path"]] = os.path.getmtime(s1["img_path"])
+        import cv2
+
+        img = cv2.imread(s1["img_path"])  # BGR
+        rendered = render_synthetic_image(s0)
+        assert img.shape == rendered.shape
+        # JPEG is lossy; blobs must still land where they were rendered
+        assert abs(float(img[..., ::-1].mean()) - float(rendered.mean())) < 2.0
+    out2 = materialize_synthetic(samples, str(tmp_path))  # idempotent: reuse
+    for s in out2:
+        assert os.path.getmtime(s["img_path"]) == mtimes[s["img_path"]]
+
+
+def test_render_synthetic_max_compositing_keeps_hues():
+    """Overlapping blobs must keep the locally-stronger blob's pure hue
+    (additive blending made crowded frames unlearnable)."""
+    from ihpr_tpu.data.datasets import make_synthetic, render_synthetic_image
+
+    s = make_synthetic(skeletons.H36M, 1, seed=11, img_size=200)[0]
+    img = render_synthetic_image(s)
+    # every joint center shows its own color => len(set) == joint count
+    cols = set()
+    for x, y, _ in s["joint_img"]:
+        cols.add(tuple(img[int(round(y)), int(round(x))]))
+    assert len(cols) == len(s["joint_img"])
+    assert img.max() <= 255 and img.min() >= 0

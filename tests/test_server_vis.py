@@ -52,6 +52,32 @@ def test_server_full_path_original_images(tiny_server):
         assert (-50 <= r.coords_img[:, 0]).all() and (r.coords_img[:, 0] < 250).all()
 
 
+def test_server_flip_one_dispatch_matches_two(tiny_server):
+    """The server's single 2B flip-test dispatch must equal the explicit
+    two-forward composition (reference main/test.py flip semantics)."""
+    srv = tiny_server
+    patches = np.random.RandomState(2).randint(0, 255, (4, 64, 64, 3)).astype(np.uint8)
+    ones = np.ones((4, 3), np.float32)
+    fused = np.asarray(srv._fn(jnp.asarray(patches), jnp.asarray(ones)))
+
+    def infer(img_u8):
+        from ihpr_tpu.data.augment import finalize_patch
+
+        img = finalize_patch(jnp.asarray(img_u8), jnp.asarray(ones), srv.cfg.data)
+        return srv.model.apply(
+            {"params": srv.params, "batch_stats": srv.batch_stats},
+            img,
+            train=False,
+            method=srv.model.coords,
+        )
+
+    c = np.array(infer(patches))
+    cf = np.array(infer(patches[:, :, ::-1, :]))
+    cf[..., 0] = srv.cfg.data.output_shape[1] - 1.0 - cf[..., 0]
+    cf = cf[:, srv.flip_perm, :]
+    np.testing.assert_allclose(fused, (c + cf) * 0.5, atol=1e-4)
+
+
 def test_vis_keypoints_and_grid(tmp_path):
     skel = skeletons.H36M
     img = np.zeros((64, 64, 3), np.uint8)
