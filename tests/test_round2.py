@@ -274,3 +274,25 @@ def test_tester_evaluate_artifacts_and_scatter(tiny_cfg, eval_data):
         assert np.isfinite(jc).all()
     finally:
         shutil.rmtree(tmp)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("IHPR_MULTIPROC_TEST"),
+    reason="~5 min on 1 CPU core; run via IHPR_MULTIPROC_TEST=1 or "
+    "`python tools/multiprocess_dp.py` (committed PASS in SURVEY.md §9)",
+)
+def test_real_two_process_dp_matches_single_process():
+    """True multi-process (DCN-path) validation: two jax.distributed
+    processes must produce the single-process loss (tools/multiprocess_dp)."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "multiprocess_dp.py")],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "multiprocess_dp: PASS" in out.stdout
