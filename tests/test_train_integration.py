@@ -232,3 +232,50 @@ def test_eval_step_flip_test(tiny_cfg, tiny_data):
     coords, joint_img, vis = ev(state.params, state.batch_stats, batch)
     assert coords.shape == (4, 18, 3)
     assert bool(jnp.isfinite(coords).all())
+
+
+def test_mixed_h36m_mpii_training(tiny_cfg):
+    """Mixed H36M+MPII batches — the BASELINE default trainset. MPII rows
+    are unified onto the H36M 18-joint order (reference common/base.py +
+    transform_joint_to_other_db): z supervision masked off
+    (joints_have_depth=0), H36M-only joints (Torso, Nose) invisible; one
+    production step trains finite on the mixed batch."""
+    import dataclasses
+
+    cfg = tiny_cfg.replace(
+        data=dataclasses.replace(tiny_cfg.data, trainset=("Human36M", "MPII"))
+    )
+    h36m = PoseDataset(
+        "Human36M", skeletons.H36M, make_synthetic(skeletons.H36M, 8, seed=0, img_size=200), True
+    )
+    mpii = PoseDataset(
+        "MPII", skeletons.MPII, make_synthetic(skeletons.MPII, 8, seed=1, img_size=200), True
+    )
+    loader = BatchLoader([h36m, mpii], cfg, 4, train=True, num_workers=0)
+
+    h36m_only = [
+        i
+        for i, n in enumerate(skeletons.H36M.joints_name)
+        if n not in skeletons.MPII.joints_name
+    ]
+    assert h36m_only == [7, 9]  # Torso, Nose
+
+    seen_depth = set()
+    batches = list(loader.epoch(0))
+    for hb in batches:
+        assert hb.joint_img.shape[1] == 18  # primary (H36M) joint order
+        for r in range(len(hb.joints_have_depth)):
+            seen_depth.add(float(hb.joints_have_depth[r]))
+            if hb.joints_have_depth[r] == 0.0:  # MPII-origin row
+                assert (hb.joint_vis[r, h36m_only] == 0).all()
+    assert seen_depth == {0.0, 1.0}  # both datasets fed the epoch
+
+    from ihpr_tpu.models.pose_net import build_pose_net
+
+    mesh = make_mesh(2)
+    model = build_pose_net(cfg)
+    state, tx = create_train_state(model, cfg, jax.random.key(0), 4, mesh=mesh)
+    step = make_train_step(model, tx, cfg, mesh, donate=False)
+    batch, _ = next(iter(prefetch_to_device(iter(batches[:1]), batch_sharding(mesh))))
+    _, metrics = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
