@@ -80,7 +80,10 @@ def _use_pallas() -> bool:
 
 
 # Per-chunk VMEM budget; the streaming state makes this independent of H*W.
-_MAX_CHUNK_BYTES = 2 * 1024 * 1024
+# IHPR_CHUNK_BYTES overrides for A/B tuning (tools/ sweeps).
+import os as _os
+
+_MAX_CHUNK_BYTES = int(_os.environ.get("IHPR_CHUNK_BYTES", 2 * 1024 * 1024))
 # Segment matmul emits (4, _SEG_LANES); joints beyond this fall back.
 _SEG_LANES = 128
 
