@@ -205,7 +205,7 @@ def main():
     test_ds = PoseDataset("Human36M", skel, test_samples, False)
 
     t0 = time.perf_counter()
-    trainer = Trainer(cfg, datasets=[train_ds], num_workers=4)
+    trainer = Trainer(cfg, datasets=[train_ds], num_workers=8)
     state = trainer.train(end_epoch=end_epoch)
     train_s = time.perf_counter() - t0
 
