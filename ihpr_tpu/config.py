@@ -118,6 +118,11 @@ class EvalConfig:
     # 128 measured fastest on v5e (tools/eval_bench.py: 1688 img/s/chip vs
     # 1112 at 64 — eval is dispatch-latency-bound on the tunnel).
     batch_size_per_device: int = 128
+    # Write the reference-layout result files (pred.mat / H36M result json /
+    # COCO detections json) on evaluate(). Parity default; secondary evals
+    # (oracle comparisons, train-subset probes) turn it off — the H36M dump
+    # is a full-dataset serial json (gigabyte-scale on the real test set).
+    dump_artifacts: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -208,9 +213,18 @@ def get_config(name: str) -> Config:
 
 
 def apply_matmul_precision(cfg: Config) -> None:
-    """Install cfg.model.matmul_precision as the process-wide default
-    (no-op when None). Called by Trainer/Tester/PoseServer so CLI users of
-    the parity configs get true-fp32 arithmetic without extra flags."""
+    """Install cfg.model.matmul_precision as the process-wide default.
+    Called by Trainer/Tester/PoseServer so CLI users of the parity configs
+    get true-fp32 arithmetic without extra flags.
+
+    ``None`` means "leave the ambient process setting alone" — it is NOT
+    "reset to platform default". This is deliberate: callers that set the
+    global themselves (e.g. tools/accuracy_loop.py) can mix None-precision
+    configs under their own setting. Consequence: in one process, a config
+    constructed AFTER a 'highest' config inherits 'highest' unless it
+    names its own precision — set matmul_precision='default' explicitly to
+    force platform default. The Pallas kernels are unaffected either way
+    (they pin precision from operand dtype)."""
     if cfg.model.matmul_precision:
         import jax
 

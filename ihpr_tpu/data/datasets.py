@@ -453,12 +453,22 @@ def materialize_synthetic(
     (fused libjpeg decode + C++ warp) instead of per-epoch Python
     rendering. Returns new sample dicts; idempotent (files are reused if
     already present)."""
+    import hashlib
+
     import cv2
 
     os.makedirs(out_dir, exist_ok=True)
     out = []
     for s in samples:
-        path = os.path.join(out_dir, f"synth_{s['synth_seed']}.jpg")
+        # Cache key hashes the CONTENT that determines the rendered frame
+        # (joints incl. depth-coded radii + frame size), not just the seed:
+        # the same synth_seed at a different img_size would otherwise reuse
+        # a stale JPEG whose blobs don't match the labels.
+        key = hashlib.sha1(
+            np.ascontiguousarray(s["joint_img"], np.float32).tobytes()
+            + bytes(str(tuple(s["img_shape"])), "ascii")
+        ).hexdigest()[:12]
+        path = os.path.join(out_dir, f"synth_{s['synth_seed']}_{key}.jpg")
         if not os.path.exists(path):
             img = render_synthetic_image(s)
             ok = cv2.imwrite(path, img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, quality])

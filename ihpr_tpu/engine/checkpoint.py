@@ -44,13 +44,12 @@ class CheckpointManager:
         would dwarf the step time). The previous save is drained first;
         call ``wait()`` before process exit."""
         self._ckpt.wait_until_finished()  # at most one save in flight
-        if self.keep is not None:
-            # The drain above guarantees every dir on disk is fully
-            # written; make room so keep-1 old + the new save = keep.
-            import shutil
-
-            for e in self._epochs_on_disk()[: -max(self.keep - 1, 0) or None]:
-                shutil.rmtree(self._path(e), ignore_errors=True)
+        # Prune BEFORE starting the new async write, and only down to
+        # ``keep`` — never keep-1: that would leave a window with zero
+        # restorable snapshots if the process dies mid-write (the
+        # in-flight Orbax tmp dir does not match snapshot_\\d+). Disk
+        # transiently holds keep+1; wait() prunes to exactly keep.
+        self._prune(self.keep)
         payload = {
             "state": jax.device_get(state),
             "rng": np.asarray(jax.random.key_data(rng)),
@@ -58,8 +57,19 @@ class CheckpointManager:
         }
         self._ckpt.save(self._path(epoch), payload, force=True)
 
+    def _prune(self, keep: Optional[int]):
+        """Remove all but the newest ``keep`` fully-written snapshots.
+        Call only after a drain (every dir on disk is then complete)."""
+        if keep is None:
+            return
+        import shutil
+
+        for e in self._epochs_on_disk()[: -keep or None]:
+            shutil.rmtree(self._path(e), ignore_errors=True)
+
     def wait(self):
         self._ckpt.wait_until_finished()
+        self._prune(self.keep)
 
     def latest_epoch(self) -> Optional[int]:
         self._ckpt.wait_until_finished()  # make in-flight saves visible

@@ -35,7 +35,7 @@ def metrics_from_voxel_preds(
     cfg: Config, loader: BatchLoader, dataset: PoseDataset, preds_voxel: np.ndarray
 ):
     """(N, J, 3) voxel predictions in loader.index order -> (metrics,
-    preds_img, samples). The SINGLE evaluation code path (warp-back ->
+    preds_img, samples, preds_cam). The SINGLE evaluation code path (warp-back ->
     pixel2cam -> dataset metric) shared by the Tester and the torch-CPU
     oracle in tools/accuracy_loop.py, so MPJPE comparisons differ only in
     the network forward. Reference: Human36M.evaluate / MPII.evaluate.
@@ -67,6 +67,7 @@ def metrics_from_voxel_preds(
             preds_voxel[i], inv, out_shape, in_shape, depth, bbox3d_z, sample["root_z"]
         )
 
+    preds_cam = None
     if name == "Human36M":
         preds_cam = np.stack(
             [geometry.pixel2cam(p, s["f"], s["c"]) for p, s in zip(preds_img, samples)]
@@ -78,7 +79,7 @@ def metrics_from_voxel_preds(
         metrics = evaluate_mscoco(preds_img, samples)
     else:
         raise KeyError(name)
-    return metrics, preds_img, samples
+    return metrics, preds_img, samples, preds_cam
 
 
 class Tester:
@@ -165,7 +166,7 @@ class Tester:
         cfg = self.cfg
         preds_voxel = self.predict_voxels()
         name = self.dataset.name
-        metrics, preds_img, samples = metrics_from_voxel_preds(
+        metrics, preds_img, samples, preds_cam = metrics_from_voxel_preds(
             cfg, self.loader, self.dataset, preds_voxel
         )
 
@@ -196,10 +197,11 @@ class Tester:
         with open(f"{cfg.output_dir}/result/metrics_{name}.json", "w") as f:
             json.dump(metrics, f, indent=1)
         np.save(f"{cfg.output_dir}/result/preds_{name}.npy", preds_img)
-        self._write_upstream_artifacts(name, preds_img, samples)
+        if cfg.eval.dump_artifacts:
+            self._write_upstream_artifacts(name, preds_img, samples, preds_cam)
         return metrics
 
-    def _write_upstream_artifacts(self, name, preds_img, samples):
+    def _write_upstream_artifacts(self, name, preds_img, samples, preds_cam=None):
         """Result dumps in the reference's layouts (SURVEY.md §3.2), next to
         our metrics json, so the official toolkits can consume them:
         - MPII: ``pred.mat`` with key 'preds' (N, 16, 2), MATLAB 1-based px
@@ -222,15 +224,21 @@ class Tester:
         elif name == "Human36M":
             import json
 
+            if preds_cam is None:  # not computed by the metric path
+                preds_cam = np.stack(
+                    [
+                        geometry.pixel2cam(p, s["f"], s["c"])
+                        for p, s in zip(preds_img, samples)
+                    ]
+                )
             out = []
-            for pred, s in zip(preds_img, samples):
-                joint_cam = geometry.pixel2cam(pred, s["f"], s["c"])
+            for pred, cam, s in zip(preds_img, preds_cam, samples):
                 out.append(
                     dict(
                         image_path=s.get("img_path"),
                         action=s.get("action", ""),
                         joint_img=pred.tolist(),
-                        joint_cam=joint_cam.tolist(),
+                        joint_cam=cam.tolist(),
                     )
                 )
             with open(f"{result_dir}/bbox_root_pose_h36m_output.json", "w") as f:

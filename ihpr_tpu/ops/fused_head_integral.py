@@ -259,8 +259,15 @@ def fused_final_conv_integral(
         return _fused(feat, kernel, bias, joint_num, depth_dim, h, w)
     from ihpr_tpu.ops.integral_pallas import _dispatch
 
+    # Same precision rule as the fused kernel so IHPR_PALLAS=off triage
+    # and unsupported-shape fallbacks are numerically comparable to it.
     logits = (
-        jnp.dot(feat, kernel, preferred_element_type=jnp.float32)
+        jnp.dot(
+            feat,
+            kernel,
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(feat.dtype),
+        )
         + bias.astype(jnp.float32)
     )
     return _dispatch(logits, joint_num, depth_dim, h, w)

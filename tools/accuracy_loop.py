@@ -73,6 +73,12 @@ def _torch_oracle_preds(cfg, loader, joint_num, params, batch_stats):
     n = len(loader.index)
     preds = np.zeros((n, joint_num, 3), np.float32)
     seen = np.zeros(n, bool)
+    if not loader.host_warp:
+        raise SystemExit(
+            "torch oracle needs the host-warp loader (HostBatch has no "
+            "pre-warped .patch on this host — build native/ first: "
+            "./native/build.sh)"
+        )
     with torch.no_grad():
         for hb in loader.epoch():
             # numpy twin of augment.finalize_patch (eval: color_scale == 1)
@@ -219,9 +225,15 @@ def main():
     # Memorization-vs-generalization signal: the same eval on a train
     # subset. A large train/test gap means the model memorized (more data
     # needed); a small one with high absolute MPJPE means undertraining.
+    # Secondary evals get their own output_dir and no upstream artifact
+    # dumps so the headline test-set result/ files are not clobbered.
+    aux_cfg = cfg.replace(
+        eval=dataclasses.replace(cfg.eval, dump_artifacts=False),
+        output_dir=f"{out_dir}/train_subset",
+    )
     train_sub = PoseDataset("Human36M", skel, train_samples[:test_size], False)
     train_mpjpe = Tester(
-        cfg, dataset=train_sub, state=state, num_workers=4
+        aux_cfg, dataset=train_sub, state=state, num_workers=4
     ).evaluate()["MPJPE total"]
     print(f"train-subset MPJPE total: {train_mpjpe:.2f} mm")
 
@@ -256,7 +268,9 @@ def main():
             cfg_fp32 = cfg.replace(
                 model=dataclasses.replace(
                     cfg.model, compute_dtype="float32", fp32_logits=True
-                )
+                ),
+                eval=dataclasses.replace(cfg.eval, dump_artifacts=False),
+                output_dir=f"{out_dir}/fp32_eval",
             )
             ours_fp32 = Tester(
                 cfg_fp32, dataset=test_ds, state=state, num_workers=4
@@ -268,7 +282,7 @@ def main():
             cfg, tester.loader, test_ds.joint_num, state.params, state.batch_stats
         )
         oracle_s = time.perf_counter() - t0
-        tm_metrics, _, _ = metrics_from_voxel_preds(
+        tm_metrics, _, _, _ = metrics_from_voxel_preds(
             cfg, tester.loader, test_ds, preds_torch
         )
         torch_mpjpe = tm_metrics["MPJPE total"]
