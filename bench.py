@@ -12,11 +12,14 @@ pre-staged on device so host IO is excluded (the threaded canvas loader
 overlaps it in real training).
 
 Baseline: the reference (PyTorch, ``main/train.py``) publishes no
-throughput. BASELINE.json's north star is ">=2x H100 images/sec/chip"; an
-H100-SXM running the reference's R50 @ 256x256 train loop under AMP
-measures ~1300 img/s in public MLPerf-adjacent configs, so vs_baseline is
-computed against 1300 img/s = "1x H100". Re-anchor when a real H100
-measurement of the reference becomes available.
+throughput. BASELINE.json's north star is ">=2x H100 images/sec/chip";
+vs_baseline is computed against 1300 img/s = "1x H100" — a DERIVED
+anchor (measured 52.2 GFLOP/img x public MLPerf-class H100 conv-training
+rates x a research-code discount, cross-checked against a measured
+torch-CPU rate). Full derivation + the [850, 1800] img/s uncertainty
+band: BASELINE.md "Anchor derivation"; regenerate the measured leg with
+tools/baseline_anchor.py. Re-anchor when a real H100 measurement of the
+reference becomes available.
 """
 
 from __future__ import annotations

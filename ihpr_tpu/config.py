@@ -167,6 +167,13 @@ CONFIGS = {
         name="mpii2d_r50",
         data=DataConfig(trainset=("MPII",), testset="MPII", depth_dim=1),
     ),
+    # 2b. COCO 2D keypoints: same 2D-integral family as mpii2d_r50 but the
+    # 17-joint COCO skeleton + OKS keypoint-AP eval (reference
+    # data/MSCOCO/MSCOCO.py). End-to-end evidence: tools/coco_probe.py.
+    "coco2d_r50": _cfg(
+        name="coco2d_r50",
+        data=DataConfig(trainset=("MSCOCO",), testset="MSCOCO", depth_dim=1),
+    ),
     # 3. Human3.6M 3D: ResNet-50 + 64^3 volumetric integral, full train/eval.
     # bf16 convs with fp32 master params + fp32 heatmap logits/integral —
     # the TPU-native mixed-precision recipe (MXU runs bf16 natively; the
@@ -228,6 +235,16 @@ def apply_matmul_precision(cfg: Config) -> None:
     if cfg.model.matmul_precision:
         import jax
 
+        prev = jax.config.jax_default_matmul_precision
+        if prev is not None and prev != cfg.model.matmul_precision:
+            import logging
+
+            logging.getLogger("ihpr").warning(
+                "overriding process-wide jax_default_matmul_precision "
+                f"{prev!r} -> {cfg.model.matmul_precision!r} (config "
+                f"{cfg.name!r}); later None-precision configs in this "
+                "process inherit the new setting"
+            )
         jax.config.update(
             "jax_default_matmul_precision", cfg.model.matmul_precision
         )

@@ -22,6 +22,10 @@ class CheckpointManager:
     def __init__(self, output_dir: str, keep: Optional[int] = None):
         """``keep``: retain only the newest N snapshots on disk (None =
         keep every epoch, the reference's behavior)."""
+        if keep is not None and keep < 1:
+            # keep=0 would make _prune's [:-keep or None] slice delete EVERY
+            # snapshot (silent total checkpoint loss); reject it up front.
+            raise ValueError(f"snapshot keep must be >= 1 or None, got {keep}")
         self.dump_dir = os.path.abspath(os.path.join(output_dir, "model_dump"))
         self.keep = keep
         os.makedirs(self.dump_dir, exist_ok=True)

@@ -158,7 +158,12 @@ class Trainer:
                         jax.block_until_ready(self.state.params)
                         jax.profiler.stop_trace()
                         self.logger.info(f"profile written to {profile_dir}")
-                log_step = itr % log_every == 0 or itr == self.steps_per_epoch - 1
+                # cap_steps_per_epoch(n) shortens the epoch to max_steps, so
+                # the closing log line must key off the effective epoch length.
+                epoch_len = self.steps_per_epoch
+                if self.max_steps is not None:
+                    epoch_len = min(epoch_len, self.max_steps)
+                log_step = itr % log_every == 0 or itr == epoch_len - 1
                 step_fn = self.step_fn if log_step else self.lean_step_fn
                 self.state, metrics = step_fn(self.state, batch, epoch_rng)
                 window_steps += 1

@@ -24,7 +24,19 @@ def main():
     ap.add_argument("--num_workers", type=int, default=8)
     ap.add_argument("--output_dir", default=None)
     ap.add_argument("--vis", action="store_true", help="dump keypoint overlays to output/vis")
+    ap.add_argument(
+        "--multihost",
+        action="store_true",
+        help="call jax.distributed.initialize() for multi-host DCN eval "
+        "(each process evaluates its row block; predictions are "
+        "process_allgathered before the metric — engine/tester.py)",
+    )
     args = ap.parse_args()
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
 
     from ihpr_tpu.config import get_config
     from ihpr_tpu.engine.tester import Tester

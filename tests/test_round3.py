@@ -1,0 +1,85 @@
+"""Round-3 regression tests (ADVICE fixes + new features)."""
+
+import numpy as np
+import pytest
+
+
+class TestCheckpointKeepGuard:
+    def test_keep_zero_rejected(self, tmp_path):
+        # keep=0 used to make _prune delete EVERY snapshot ([:-0 or None]
+        # == [:None]) — silent total checkpoint loss. Now rejected.
+        from ihpr_tpu.engine.checkpoint import CheckpointManager
+
+        with pytest.raises(ValueError, match="keep"):
+            CheckpointManager(str(tmp_path), keep=0)
+        with pytest.raises(ValueError, match="keep"):
+            CheckpointManager(str(tmp_path), keep=-1)
+        CheckpointManager(str(tmp_path), keep=1)  # fine
+        CheckpointManager(str(tmp_path), keep=None)  # fine
+
+
+class TestSemanticRenderer:
+    """hue_mode='semantic' must render mirror-consistently: a horizontal
+    flip of the rendered frame equals the rendering of the flipped pose
+    (joints permuted by flip_permutation, x mirrored). This is the property
+    flip-test and flip augmentation rely on for real humans."""
+
+    def test_mirror_consistency(self):
+        from ihpr_tpu.data import skeletons
+        from ihpr_tpu.data.datasets import make_synthetic, render_synthetic_image
+
+        skel = skeletons.get_skeleton("Human36M")
+        perm = skel.flip_permutation()
+        w = 128
+        samples = make_synthetic(
+            skel, 3, seed=5, img_size=w, easy_depth=True, hue_mode="semantic"
+        )
+        for s in samples:
+            img = render_synthetic_image(s)
+            s2 = dict(s)
+            ji = s["joint_img"][perm].copy()
+            ji[:, 0] = (w - 1) - ji[:, 0]
+            s2["joint_img"] = ji
+            img2 = render_synthetic_image(s2)
+            diff = np.abs(img[:, ::-1].astype(int) - img2.astype(int))
+            # Exact up to uint8 rounding + max-compositing tie-break flips on
+            # blob-crossing boundary pixels (a measure-zero set).
+            assert diff.mean() < 0.5, diff.mean()
+            assert (diff > 2).mean() < 2e-3, (diff > 2).mean()
+
+    def test_easy_depth_is_mirror_invariant(self):
+        # z must be coded off y (mirror-invariant), never x: flip-test
+        # un-mirrors x only, so an x-coded depth cue would negate under the
+        # flip while the label kept its sign.
+        from ihpr_tpu.data import skeletons
+        from ihpr_tpu.data.datasets import make_synthetic
+
+        skel = skeletons.get_skeleton("Human36M")
+        (s,) = make_synthetic(skel, 1, seed=3, img_size=200, easy_depth=True)
+        ji = s["joint_img"]
+        np.testing.assert_allclose(
+            ji[:, 2], ((ji[:, 1] / 200) - 0.5) * 1100.0, rtol=1e-5
+        )
+
+    def test_index_mode_unchanged(self):
+        # Default samples carry no semantic fields and render as before.
+        from ihpr_tpu.data import skeletons
+        from ihpr_tpu.data.datasets import make_synthetic
+
+        skel = skeletons.get_skeleton("Human36M")
+        (s,) = make_synthetic(skel, 1, seed=3, img_size=100)
+        assert "hue_mode" not in s and "tilt" not in s
+
+
+class TestMaterializeCacheKey:
+    def test_quality_changes_key(self, tmp_path):
+        from ihpr_tpu.data import skeletons
+        from ihpr_tpu.data.datasets import make_synthetic, materialize_synthetic
+
+        samples = make_synthetic(skeletons.get_skeleton("Human36M"), 2, img_size=64)
+        a = materialize_synthetic(samples, str(tmp_path), quality=95)
+        b = materialize_synthetic(samples, str(tmp_path), quality=50)
+        assert a[0]["img_path"] != b[0]["img_path"]
+        # idempotent at equal parameters
+        a2 = materialize_synthetic(samples, str(tmp_path), quality=95)
+        assert a[0]["img_path"] == a2[0]["img_path"]
