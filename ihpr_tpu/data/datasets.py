@@ -353,6 +353,30 @@ def evaluate_mscoco(preds_px: np.ndarray, samples: Sequence[dict]) -> Dict[str, 
 # Synthetic (tests / benchmarks / environments without the real data)
 
 
+def _semantic_hue_coding(skeleton: skeletons.Skeleton):
+    """Per-joint (hue_class, tilt) arrays for mirror-consistent rendering.
+
+    Both members of a flip pair share one hue class (mirroring a frame must
+    produce a valid rendering of the flipped pose, so hue cannot encode
+    chirality); left/right is instead coded as the blob's anisotropy tilt
+    (+45 deg for the first pair member, -45 deg for the second, 0 for
+    self-paired joints) — a horizontal mirror negates the tilt angle, which
+    is exactly the flipped joint's rendering."""
+    j = skeleton.joint_num
+    hue_class = np.full(j, -1, np.int32)
+    tilt = np.zeros(j, np.float32)
+    n_class = 0
+    for a, b in skeleton.flip_pairs:
+        hue_class[a] = hue_class[b] = n_class
+        tilt[a], tilt[b] = np.pi / 4, -np.pi / 4
+        n_class += 1
+    for i in range(j):
+        if hue_class[i] < 0:
+            hue_class[i] = n_class
+            n_class += 1
+    return hue_class, tilt, n_class
+
+
 def make_synthetic(
     skeleton: skeletons.Skeleton,
     n: int,
@@ -360,15 +384,26 @@ def make_synthetic(
     img_size: int = 400,
     with_depth: Optional[bool] = None,
     easy_depth: bool = False,
+    hue_mode: str = "index",
 ) -> List[dict]:
     """Random but geometrically consistent samples; images are rendered on
     demand by ``render_synthetic_image`` (Gaussian blobs at joints), so a
-    model CAN learn to localize them — used by the integration tests."""
+    model CAN learn to localize them — used by the integration tests.
+
+    ``hue_mode="semantic"`` renders mirror-consistently (shared pair hues +
+    chirality-coded blob tilt, ``_semantic_hue_coding``), which makes
+    flip-test and horizontal-flip augmentation label-consistent on
+    synthetic data; ``"index"`` (default, one hue per joint index) keeps
+    the historical probes' data distribution."""
     rng = np.random.RandomState(seed)
     if with_depth is None:
         with_depth = skeleton.has_depth
     f = np.array([1100.0, 1100.0], np.float32)
     c = np.array([img_size / 2, img_size / 2], np.float32)
+    if hue_mode == "semantic":
+        hue_class, tilt, n_hue = _semantic_hue_coding(skeleton)
+    elif hue_mode != "index":
+        raise ValueError(f"unknown hue_mode {hue_mode!r}")
     samples = []
     for i in range(n):
         j = skeleton.joint_num
@@ -384,25 +419,35 @@ def make_synthetic(
             # warp-back -> pixel2cam) but the visual cue is the blob's
             # location instead of its ~1 px radius, which the 4x-downsampled
             # heatmap cannot resolve — accuracy probes use this mode.
-            z = ((xy[:, :1] / img_size) - 0.5) * 1100.0
+            # Coded off the y coordinate (mirror-INVARIANT) so flip-test and
+            # flip augmentation stay label-consistent: an x-coded depth cue
+            # would negate under the horizontal mirror while the label kept
+            # its sign.
+            z = ((xy[:, 1:2] / img_size) - 0.5) * 1100.0
         else:
             z = rng.uniform(-600, 600, (j, 1))
         joint_img = np.concatenate([xy, z], 1).astype(np.float32)
         bbox = _bbox_from_joints(joint_img)
-        samples.append(
-            dict(
-                img_path=None,
-                synth_seed=seed * 100003 + i,
-                img_shape=(img_size, img_size),
-                bbox=bbox.astype(np.float32),
-                joint_img=joint_img,
-                joint_vis=np.ones(j, np.float32),
-                root_z=4000.0,
-                f=f,
-                c=c,
-                action=H36M_ACTIONS[i % len(H36M_ACTIONS)],
-            )
+        s = dict(
+            img_path=None,
+            synth_seed=seed * 100003 + i,
+            img_shape=(img_size, img_size),
+            bbox=bbox.astype(np.float32),
+            joint_img=joint_img,
+            joint_vis=np.ones(j, np.float32),
+            root_z=4000.0,
+            f=f,
+            c=c,
+            action=H36M_ACTIONS[i % len(H36M_ACTIONS)],
+            # COCO OKS normalizes by instance area; harmless elsewhere.
+            area=float(bbox[2] * bbox[3]),
         )
+        if hue_mode == "semantic":
+            s["hue_mode"] = "semantic"
+            s["hue_class"] = hue_class
+            s["hue_classes_total"] = n_hue
+            s["tilt"] = tilt
+        samples.append(s)
     return samples
 
 
@@ -414,15 +459,25 @@ def render_synthetic_image(sample: dict, sigma: float = 4.0) -> np.ndarray:
     Joint identity is coded as a unique hue (intensity-only coding left
     joints ambiguous); root-relative DEPTH is coded in the blob radius
     (sigma 2.5..6.5 px over z in [-600, 600] mm), so every label dimension
-    is inferable from pixels and a trained model's MPJPE is meaningful."""
+    is inferable from pixels and a trained model's MPJPE is meaningful.
+
+    ``hue_mode="semantic"`` samples (``make_synthetic(hue_mode="semantic")``)
+    render mirror-consistently: hue is shared within each flip pair and
+    chirality is coded as an anisotropic blob tilted +-45 deg
+    (``_semantic_hue_coding``). A horizontal mirror maps pixel offsets
+    dx -> -dx, which together with tilt -> -tilt leaves the rotated-frame
+    quadratic form invariant, so flip(render(pose)) == render(flip(pose))
+    EXACTLY — the property real humans have and flip-test/flip-aug rely on
+    (reference main/test.py:~30-70 flip averaging)."""
     h, w = sample["img_shape"]
     img = np.zeros((h, w, 3), np.float32)
     wmax = np.zeros((h, w), np.float32)  # per-pixel winning blob weight
     joints = sample["joint_img"]
     n = len(joints)
+    semantic = sample.get("hue_mode", "index") == "semantic"
     for j, (x, y, z) in enumerate(joints):
         sj = sigma * (0.625 + max(-1.0, min(1.0, z / 600.0)) * 0.5) + 0.5
-        r = int(4 * sj)
+        r = int(4 * sj * (1.5 if semantic else 1.0))
         xi, yi = int(round(x)), int(round(y))
         x0, x1 = max(0, xi - r), min(w, xi + r + 1)
         y0, y1 = max(0, yi - r), min(h, yi + r + 1)
@@ -430,8 +485,22 @@ def render_synthetic_image(sample: dict, sigma: float = 4.0) -> np.ndarray:
             continue
         ys = np.arange(y0, y1, dtype=np.float32)[:, None]
         xs = np.arange(x0, x1, dtype=np.float32)[None, :]
-        blob = np.exp(-((xs - x) ** 2 + (ys - y) ** 2) / (2 * sj**2))
-        ang = 2 * np.pi * j / max(n, 1)
+        if semantic:
+            # Anisotropic Gaussian in a frame rotated by the chirality tilt:
+            # major axis 1.45 sigma / minor 0.6 sigma (area ~ sigma^2).
+            th = float(sample["tilt"][j])
+            ct, st = np.cos(th), np.sin(th)
+            u = ct * (xs - x) + st * (ys - y)
+            v = -st * (xs - x) + ct * (ys - y)
+            blob = np.exp(
+                -(u**2 / (2 * (1.45 * sj) ** 2) + v**2 / (2 * (0.6 * sj) ** 2))
+            )
+            ang = 2 * np.pi * sample["hue_class"][j] / max(
+                sample["hue_classes_total"], 1
+            )
+        else:
+            blob = np.exp(-((xs - x) ** 2 + (ys - y) ** 2) / (2 * sj**2))
+            ang = 2 * np.pi * j / max(n, 1)
         rgb = 128 + 120 * np.array(
             [np.cos(ang), np.cos(ang - 2 * np.pi / 3), np.cos(ang + 2 * np.pi / 3)]
         )
@@ -443,6 +512,13 @@ def render_synthetic_image(sample: dict, sigma: float = 4.0) -> np.ndarray:
         np.copyto(img[y0:y1, x0:x1], blob[..., None] * rgb, where=win[..., None])
         np.maximum(wmax[y0:y1, x0:x1], blob, out=wmax[y0:y1, x0:x1])
     return np.clip(img, 0, 255).astype(np.uint8)
+
+
+# Bump whenever render_synthetic_image's output changes for the same
+# sample dict (compositing rule, hue formula, ...): the token is part of
+# the materialize_synthetic cache key, so stale pre-existing JPEGs from an
+# older renderer are never silently reused.
+_RENDERER_VERSION = 2
 
 
 def materialize_synthetic(
@@ -460,13 +536,24 @@ def materialize_synthetic(
     os.makedirs(out_dir, exist_ok=True)
     out = []
     for s in samples:
-        # Cache key hashes the CONTENT that determines the rendered frame
-        # (joints incl. depth-coded radii + frame size), not just the seed:
-        # the same synth_seed at a different img_size would otherwise reuse
-        # a stale JPEG whose blobs don't match the labels.
+        # Cache key hashes the CONTENT that determines the rendered pixels:
+        # joints (incl. depth-coded radii), frame size, every renderer
+        # parameter, and the renderer version — the same synth_seed at a
+        # different img_size / JPEG quality / renderer revision would
+        # otherwise reuse a stale JPEG whose blobs don't match the labels.
         key = hashlib.sha1(
             np.ascontiguousarray(s["joint_img"], np.float32).tobytes()
-            + bytes(str(tuple(s["img_shape"])), "ascii")
+            + bytes(
+                str((tuple(s["img_shape"]), quality, _RENDERER_VERSION,
+                     s.get("hue_mode", "index"))),
+                "ascii",
+            )
+            + (
+                np.asarray(s["hue_class"], np.int32).tobytes()
+                + np.asarray(s["tilt"], np.float32).tobytes()
+                if s.get("hue_mode", "index") == "semantic"
+                else b""
+            )
         ).hexdigest()[:12]
         path = os.path.join(out_dir, f"synth_{s['synth_seed']}_{key}.jpg")
         if not os.path.exists(path):

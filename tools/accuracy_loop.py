@@ -108,7 +108,37 @@ def main():
     ap.add_argument("--oracle_tol_mm", type=float, default=1.0)
     ap.add_argument("--output_dir", default=None)
     ap.add_argument("--skip_oracle", action="store_true")
+    ap.add_argument(
+        "--hue_mode",
+        choices=["index", "semantic"],
+        default=None,
+        help="synthetic hue coding; 'semantic' renders mirror-consistently "
+        "(required for --flip_ab/--use_aug, and forced on by them)",
+    )
+    ap.add_argument(
+        "--flip_ab",
+        action="store_true",
+        help="after the headline (no-flip) eval, re-evaluate with "
+        "flip_test=True and require MPJPE_flip <= MPJPE_noflip + flip_tol "
+        "(validates the reference's flip-averaging end-to-end, "
+        "main/test.py:~30-70)",
+    )
+    ap.add_argument("--flip_tol_mm", type=float, default=2.0)
+    ap.add_argument(
+        "--use_aug",
+        action="store_true",
+        help="train with the full augmentation pipeline (flip/rot/scale/"
+        "color through the native fused decode+warp path); bar is relaxed "
+        "by --aug_bar_mult since aug makes the synthetic task harder",
+    )
+    ap.add_argument("--aug_bar_mult", type=float, default=1.4)
     args = ap.parse_args()
+
+    hue_mode = args.hue_mode or (
+        "semantic" if (args.flip_ab or args.use_aug) else "index"
+    )
+    if (args.flip_ab or args.use_aug) and hue_mode != "semantic":
+        raise SystemExit("--flip_ab/--use_aug need --hue_mode semantic")
 
     import jax
 
@@ -188,18 +218,25 @@ def main():
     out_dir = args.output_dir or f"/tmp/accuracy_{args.preset}"
     cfg = cfg.replace(output_dir=out_dir)
 
-    # Synthetic probes disable flip-test: hue-coded blobs are not
-    # mirror-symmetric the way humans are, so the flip branch's L/R joint
-    # remap (correct for people) mislabels paired blobs and corrupts the
-    # average. flip_test stays on for real-data eval (test.py default).
+    if args.use_aug:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, use_aug=True))
+        bar *= args.aug_bar_mult
+
+    # The headline eval runs flip_test=False in every mode so numbers stay
+    # comparable across rounds. Default 'index' hues are NOT mirror-
+    # consistent (one hue per joint index: the flip branch's L/R remap
+    # would mislabel paired blobs); 'semantic' hues ARE, and --flip_ab adds
+    # a second flip_test=True eval to prove the averaging helps/is neutral.
     cfg = cfg.replace(eval=dataclasses.replace(cfg.eval, flip_test=False))
 
     skel = skeletons.H36M
     train_samples = make_synthetic(
-        skel, train_size, seed=11, img_size=img_size, easy_depth=True
+        skel, train_size, seed=11, img_size=img_size, easy_depth=True,
+        hue_mode=hue_mode,
     )
     test_samples = make_synthetic(
-        skel, test_size, seed=22, img_size=img_size, easy_depth=True
+        skel, test_size, seed=22, img_size=img_size, easy_depth=True,
+        hue_mode=hue_mode,
     )
     # Train from real JPEG files through the production input path (fused
     # decode + C++ warp); rendering once also keeps per-epoch host cost flat.
@@ -237,8 +274,26 @@ def main():
     ).evaluate()["MPJPE total"]
     print(f"train-subset MPJPE total: {train_mpjpe:.2f} mm")
 
+    flip_mpjpe = None
+    if args.flip_ab:
+        flip_cfg = cfg.replace(
+            eval=dataclasses.replace(
+                cfg.eval, flip_test=True, dump_artifacts=False
+            ),
+            output_dir=f"{out_dir}/flip_eval",
+        )
+        flip_mpjpe = Tester(
+            flip_cfg, dataset=test_ds, state=state, num_workers=4
+        ).evaluate()["MPJPE total"]
+        print(
+            f"flip-test MPJPE total: {flip_mpjpe:.2f} mm "
+            f"(no-flip {ours:.2f}, tol +{args.flip_tol_mm} mm)"
+        )
+
     result = {
         "preset": args.preset,
+        "hue_mode": hue_mode,
+        "use_aug": bool(args.use_aug),
         "config": cfg.name,
         "resnet": cfg.model.resnet_type,
         "input_shape": list(cfg.data.input_shape),
@@ -250,6 +305,7 @@ def main():
         "eval_seconds": round(eval_s, 1),
         "mpjpe_bar_mm": bar,
         "mpjpe_ours_mm": round(ours, 2),
+        "mpjpe_flip_mm": None if flip_mpjpe is None else round(flip_mpjpe, 2),
         "mpjpe_train_subset_mm": round(train_mpjpe, 2),
         "metrics_ours": {k: round(v, 2) for k, v in metrics.items()},
     }
@@ -317,6 +373,8 @@ def main():
     ok = ours <= bar
     if not args.skip_oracle:
         ok = ok and result["mpjpe_gap_mm"] <= args.oracle_tol_mm
+    if args.flip_ab:
+        ok = ok and flip_mpjpe <= ours + args.flip_tol_mm
     print("accuracy_loop:", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

@@ -83,6 +83,60 @@ def build_and_step(n_global_devices: int):
     return loss
 
 
+def build_and_eval(n_global_devices: int):
+    """Tester.predict_voxels over the same tiny config with a deterministic
+    state -> (N, J, 3) voxel preds. Under 2 processes this executes the
+    ``process_allgather`` branch (engine/tester.py) for real — the one
+    multi-host invariant VERDICT r2 flagged as comment-only: global-batch
+    row order must equal the per-process index-block concatenation. The
+    test set is sized to force final-batch duplicate padding too."""
+    import dataclasses
+
+    import jax
+
+    from ihpr_tpu.config import DataConfig, ModelConfig, OptimConfig, get_config
+    from ihpr_tpu.data import skeletons
+    from ihpr_tpu.data.datasets import PoseDataset, make_synthetic
+    from ihpr_tpu.engine.tester import Tester
+    from ihpr_tpu.parallel import create_train_state
+    from ihpr_tpu.models.pose_net import build_pose_net
+
+    cfg = get_config("h36m3d_r50").replace(
+        model=ModelConfig(resnet_type=18),
+        data=DataConfig(
+            trainset=("Human36M",),
+            input_shape=(64, 64),
+            output_shape=(16, 16),
+            depth_dim=16,
+            use_aug=False,
+        ),
+        optim=OptimConfig(batch_size_per_device=2),
+        output_dir="/tmp/mp_eval_out",
+    )
+    cfg = cfg.replace(
+        parallel=dataclasses.replace(cfg.parallel, data_axis_size=n_global_devices),
+        eval=dataclasses.replace(
+            cfg.eval, batch_size_per_device=2, flip_test=True, dump_artifacts=False
+        ),
+    )
+    skel = skeletons.H36M
+    # 24 samples, global eval batch 16 -> batch 2 carries 8 duplicate-padded
+    # rows (sample_idx scatter must dedupe them identically everywhere).
+    ds = PoseDataset("Human36M", skel, make_synthetic(skel, 24, seed=7, img_size=128), False)
+    model = build_pose_net(cfg, ds.joint_num)
+    from ihpr_tpu.parallel import make_mesh
+
+    # Replicate the deterministic init state over the global mesh up front:
+    # under multi-process, jit inputs must be global arrays (a process-local
+    # committed array cannot be auto-resharded).
+    mesh = make_mesh(n_global_devices)
+    state, _ = create_train_state(
+        model, cfg, jax.random.key(0), steps_per_epoch=1, mesh=mesh
+    )
+    tester = Tester(cfg, dataset=ds, state=state, num_workers=0)
+    return tester.predict_voxels()
+
+
 def worker(pid: int):
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
@@ -100,6 +154,11 @@ def worker(pid: int):
     assert len(jax.devices()) == NPROC * LOCAL_DEVICES, jax.devices()
     loss = build_and_step(NPROC * LOCAL_DEVICES)
     print(f"WORKER {pid} loss={loss:.8f}", flush=True)
+    import numpy as np
+
+    preds = build_and_eval(NPROC * LOCAL_DEVICES)
+    np.save(f"/tmp/mp_eval_preds_{pid}.npy", preds)
+    print(f"WORKER {pid} eval_done shape={preds.shape}", flush=True)
 
 
 def main():
@@ -144,6 +203,22 @@ def main():
     print(f"single-process reference loss={ref:.8f}")
     assert abs(losses[0] - ref) < 1e-6, (losses[0], ref)
     print("multiprocess_dp: PASS (2-process DCN input path == single-process)")
+
+    # Eval phase: both workers' allgathered predictions must match each
+    # other AND a single-process run — pins the process_allgather row-order
+    # invariant (tester.py predict_voxels) with a real 2-process execution.
+    import numpy as np
+
+    for p, out in zip(procs, outs):
+        assert "eval_done" in out, f"worker {p} skipped eval phase"
+    preds = [np.load(f"/tmp/mp_eval_preds_{p}.npy") for p in range(NPROC)]
+    assert np.array_equal(preds[0], preds[1]), "workers disagree on eval preds"
+    ref_preds = build_and_eval(NPROC * LOCAL_DEVICES)
+    np.testing.assert_allclose(preds[0], ref_preds, atol=1e-5)
+    print(
+        "multiprocess_dp: PASS (2-process eval allgather == single-process, "
+        f"{ref_preds.shape[0]} samples incl. padded final batch)"
+    )
 
 
 if __name__ == "__main__":
