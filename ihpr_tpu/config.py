@@ -49,6 +49,15 @@ class ModelConfig:
     s2d_stem: bool = False
     bn_momentum: float = 0.9
     bn_epsilon: float = 1e-5
+    # BatchNorm implementation (models/resnet.py:_BN): "flax" =
+    # nn.BatchNorm (fp32-promoted normalize chain); "lean" = fp32 batch
+    # statistics but the normalize folded to ONE per-channel FMA in
+    # compute_dtype — bf16 elementwise fwd/bwd traffic in bf16 configs,
+    # identical arithmetic at fp32. Checkpoint-compatible either way.
+    bn_mode: str = "flax"
+    # Rematerialize each residual block in backward (saves only block
+    # inputs; trades spare MXU FLOPs for HBM residual traffic).
+    block_remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

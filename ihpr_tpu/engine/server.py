@@ -90,6 +90,24 @@ class PoseServer:
         cf = cf[:, self.flip_perm, :]
         return (coords + cf) * 0.5
 
+    def submit_patches(self, patches_u8: np.ndarray):
+        """Async submit of ONE chunk: (B <= max_batch, in_h, in_w, 3) uint8
+        -> device-resident (B, J, 3) voxel coords WITHOUT host
+        synchronization. Dispatch returns immediately (JAX async), so the
+        caller can preprocess the next request while this one computes —
+        the building block for sustained/pipelined serving
+        (tools/serving_bench.py). Call ``np.asarray`` on the result (or
+        chain it into a reduction) to materialize."""
+        b = len(patches_u8)
+        assert b <= self.max_batch, (b, self.max_batch)
+        pad = self.max_batch - b
+        chunk = np.asarray(patches_u8)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        ones = np.ones((self.max_batch, 3), np.float32)
+        coords = self._fn(jnp.asarray(chunk), jnp.asarray(ones))
+        return coords[:b]
+
     def predict_patches(self, patches_u8: np.ndarray) -> np.ndarray:
         """(N, in_h, in_w, 3) uint8 pre-cropped patches -> (N, J, 3) voxel
         coords. N may be any size; processed in fixed max_batch chunks."""

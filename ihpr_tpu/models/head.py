@@ -102,6 +102,7 @@ class DeconvHead(nn.Module):
     init_std: float = 0.001
     compute_dtype: Any = jnp.float32
     fp32_logits: bool = True
+    bn_mode: str = "flax"
 
     @nn.compact
     def __call__(self, x, train: bool = False, mode: str = "logits", joint_num=None, depth_dim=None):
@@ -126,7 +127,7 @@ class DeconvHead(nn.Module):
                 param_dtype=jnp.float32,
                 name=f"deconv{i + 1}",
             )(x)
-            x = _BN(self.compute_dtype, name=f"bn{i + 1}")(x, train)
+            x = _BN(self.compute_dtype, self.bn_mode, name=f"bn{i + 1}")(x, train)
             x = nn.relu(x)
         kernel, bias = _FinalConvParams(
             self.features, self.out_channels, self.init_std, name="final"

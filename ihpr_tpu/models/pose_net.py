@@ -30,10 +30,16 @@ class PoseNet(nn.Module):
     compute_dtype: Any = jnp.float32
     fp32_logits: bool = True
     s2d_stem: bool = False
+    bn_mode: str = "flax"
+    block_remat: bool = False
 
     def setup(self):
         self.backbone = ResNetBackbone(
-            self.resnet_type, self.compute_dtype, self.s2d_stem
+            self.resnet_type,
+            self.compute_dtype,
+            self.s2d_stem,
+            self.bn_mode,
+            self.block_remat,
         )
         self.head = DeconvHead(
             self.joint_num * self.depth_dim,
@@ -42,6 +48,7 @@ class PoseNet(nn.Module):
             self.head_init_std,
             self.compute_dtype,
             self.fp32_logits,
+            self.bn_mode,
         )
 
     def __call__(self, x, train: bool = False):
@@ -74,6 +81,8 @@ def build_pose_net(cfg: Config, joint_num: int | None = None) -> PoseNet:
         compute_dtype=jnp.dtype(cfg.model.compute_dtype),
         fp32_logits=cfg.model.fp32_logits,
         s2d_stem=cfg.model.s2d_stem,
+        bn_mode=cfg.model.bn_mode,
+        block_remat=cfg.model.block_remat,
     )
 
 

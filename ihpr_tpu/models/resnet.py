@@ -31,13 +31,78 @@ RESNET_SPECS = {
 _STAGE_WIDTHS = (64, 128, 256, 512)
 
 
-class _BN(nn.Module):
-    """BatchNorm with torch-compatible defaults; stats in fp32."""
+class _LeanBN(nn.Module):
+    """BatchNorm with fp32 batch statistics but the normalize folded into
+    ONE per-channel FMA executed in ``dtype``.
+
+    Same math as ``nn.BatchNorm`` (fast-variance E[x^2]-E[x]^2, fp32
+    reduces, torch momentum semantics) — the difference is the elementwise
+    chain: flax normalizes as (x - mean) * rsqrt * scale + bias with fp32
+    promotion, while this precomputes per-channel mul/add in fp32 and
+    applies ``x * mul + add`` in ``dtype``, so in bf16 configs the fwd AND
+    AD-generated bwd elementwise traffic over the activation tensor stays
+    bf16 (backbone backward is HBM-bound on exactly these chains —
+    PARITY.md MFU breakdown). Identical arithmetic at fp32. Param /
+    batch_stats tree layout matches ``nn.BatchNorm`` (scale, bias, mean,
+    var), so checkpoints and the torch converter are unaffected."""
 
     dtype: Any = jnp.float32
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        import jax
+
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.maximum(
+                jnp.mean(xf * xf, axis=(0, 1, 2)) - mean * mean, 0.0
+            )
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        rstd = jax.lax.rsqrt(var + self.epsilon)
+        mul = (scale * rstd).astype(self.dtype)
+        add = (bias - mean * scale * rstd).astype(self.dtype)
+        return x.astype(self.dtype) * mul + add
+
+
+class _BN(nn.Module):
+    """BatchNorm with torch-compatible defaults; stats in fp32.
+
+    ``mode``: "flax" = nn.BatchNorm; "lean" = ``_LeanBN`` (bf16 normalize
+    chain; same tree layout). The inner module is named ``BatchNorm_0`` in
+    both modes so the two are checkpoint-interchangeable."""
+
+    dtype: Any = jnp.float32
+    mode: str = "flax"
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.mode == "lean":
+            return _LeanBN(
+                self.dtype,
+                momentum=0.9,
+                epsilon=1e-5,
+                name="BatchNorm_0",
+            )(x, use_running_average=not train)
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,  # torch momentum=0.1 == keep 0.9 of the old stat
@@ -64,18 +129,19 @@ class BasicBlock(nn.Module):
     features: int
     stride: int
     dtype: Any
+    bn_mode: str = "flax"
 
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
         y = _conv(self.features, 3, self.stride, self.dtype, name="conv1")(x)
-        y = _BN(self.dtype, name="bn1")(y, train)
+        y = _BN(self.dtype, self.bn_mode, name="bn1")(y, train)
         y = nn.relu(y)
         y = _conv(self.features, 3, 1, self.dtype, name="conv2")(y)
-        y = _BN(self.dtype, name="bn2")(y, train)
+        y = _BN(self.dtype, self.bn_mode, name="bn2")(y, train)
         if residual.shape != y.shape:
             residual = _conv(self.features, 1, self.stride, self.dtype, name="down_conv")(x)
-            residual = _BN(self.dtype, name="down_bn")(residual, train)
+            residual = _BN(self.dtype, self.bn_mode, name="down_bn")(residual, train)
         return nn.relu(y + residual)
 
 
@@ -83,22 +149,23 @@ class Bottleneck(nn.Module):
     features: int  # bottleneck width; output is 4x this
     stride: int
     dtype: Any
+    bn_mode: str = "flax"
 
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
         y = _conv(self.features, 1, 1, self.dtype, name="conv1")(x)
-        y = _BN(self.dtype, name="bn1")(y, train)
+        y = _BN(self.dtype, self.bn_mode, name="bn1")(y, train)
         y = nn.relu(y)
         # v1.5: stride on the 3x3 (torchvision semantics -> weight parity)
         y = _conv(self.features, 3, self.stride, self.dtype, name="conv2")(y)
-        y = _BN(self.dtype, name="bn2")(y, train)
+        y = _BN(self.dtype, self.bn_mode, name="bn2")(y, train)
         y = nn.relu(y)
         y = _conv(self.features * 4, 1, 1, self.dtype, name="conv3")(y)
-        y = _BN(self.dtype, name="bn3")(y, train)
+        y = _BN(self.dtype, self.bn_mode, name="bn3")(y, train)
         if residual.shape != y.shape:
             residual = _conv(self.features * 4, 1, self.stride, self.dtype, name="down_conv")(x)
-            residual = _BN(self.dtype, name="down_bn")(residual, train)
+            residual = _BN(self.dtype, self.bn_mode, name="down_bn")(residual, train)
         return nn.relu(y + residual)
 
 
@@ -117,11 +184,21 @@ class ResNetBackbone(nn.Module):
     resnet_type: int = 50
     compute_dtype: Any = jnp.float32
     s2d_stem: bool = False
+    bn_mode: str = "flax"
+    # Rematerialize each residual block's forward in the backward pass:
+    # only block INPUTS are saved; intra-block activations are recomputed.
+    # Trades spare MXU FLOPs for HBM residual traffic (the backward is
+    # bandwidth-bound; see tools/bwd_experiments.py for measurements).
+    block_remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kind, depths, expansion = RESNET_SPECS[self.resnet_type]
         block_cls = BasicBlock if kind == "basic" else Bottleneck
+        if self.block_remat:
+            # static_argnums counts the module instance as argument 0, so
+            # ``train`` (a Python bool steering BN mode) is index 2.
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         x = x.astype(self.compute_dtype)
         if self.s2d_stem:
             b, h, w, c = x.shape
@@ -150,7 +227,7 @@ class ResNetBackbone(nn.Module):
                 param_dtype=jnp.float32,
                 name="conv1",
             )(x)
-        x = _BN(self.compute_dtype, name="bn1")(x, train)
+        x = _BN(self.compute_dtype, self.bn_mode, name="bn1")(x, train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for stage, (width, depth) in enumerate(zip(_STAGE_WIDTHS, depths)):
@@ -160,6 +237,7 @@ class ResNetBackbone(nn.Module):
                     width,
                     stride,
                     self.compute_dtype,
+                    self.bn_mode,
                     name=f"layer{stage + 1}_{i}",
                 )(x, train)
         return x

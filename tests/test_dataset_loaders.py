@@ -190,9 +190,10 @@ def test_h36m_loader_through_batchloader(h36m_root, monkeypatch):
 
 
 def test_make_synthetic_easy_depth_and_materialize(tmp_path):
-    """easy_depth codes z as a deterministic function of x (accuracy-probe
-    mode); materialize_synthetic writes decodable JPEGs, points img_path at
-    them, and is idempotent."""
+    """easy_depth codes z as a deterministic function of y (accuracy-probe
+    mode; y not x since round 3 so the cue is mirror-invariant and
+    flip-test/flip-aug stay label-consistent); materialize_synthetic writes
+    decodable JPEGs, points img_path at them, and is idempotent."""
     import os
 
     from ihpr_tpu.data.datasets import (
@@ -204,7 +205,7 @@ def test_make_synthetic_easy_depth_and_materialize(tmp_path):
     samples = make_synthetic(skeletons.H36M, 3, seed=7, img_size=160, easy_depth=True)
     for s in samples:
         j = s["joint_img"]
-        expected = ((j[:, 0] / 160.0) - 0.5) * 1100.0
+        expected = ((j[:, 1] / 160.0) - 0.5) * 1100.0
         np.testing.assert_allclose(j[:, 2], expected, atol=1e-4)
 
     out = materialize_synthetic(samples, str(tmp_path))

@@ -71,6 +71,98 @@ class TestSemanticRenderer:
         assert "hue_mode" not in s and "tilt" not in s
 
 
+class TestBNModesAndRemat:
+    """bn_mode='lean' and block_remat must be drop-in: identical math at
+    fp32 (same params/batch_stats tree, same outputs, same grads) — the
+    perf-mode A/B (tools/bwd_experiments.py) then measures only speed."""
+
+    def _build(self, **model_kw):
+        import jax
+        import jax.numpy as jnp
+
+        from ihpr_tpu.models.pose_net import PoseNet
+
+        model = PoseNet(
+            resnet_type=18, joint_num=4, depth_dim=8, deconv_features=32,
+            **model_kw,
+        )
+        x = jax.random.normal(jax.random.key(0), (2, 64, 64, 3), jnp.float32)
+        variables = model.init(jax.random.key(1), x, train=False)
+        return model, variables, x
+
+    def test_lean_bn_matches_flax_fp32(self):
+        import jax
+        import numpy as np
+
+        ref_model, variables, x = self._build(bn_mode="flax")
+        lean_model, lean_vars, _ = self._build(bn_mode="lean")
+        # identical tree layout -> the flax-init variables load directly
+        assert jax.tree_util.tree_structure(
+            lean_vars
+        ) == jax.tree_util.tree_structure(variables)
+
+        def run(model, train):
+            def f(params):
+                out, upd = model.apply(
+                    {"params": params, "batch_stats": variables["batch_stats"]},
+                    x,
+                    train=train,
+                    mutable=["batch_stats"],
+                )
+                return out.sum(), (out, upd["batch_stats"])
+
+            (s, (out, stats)), grads = jax.value_and_grad(f, has_aux=True)(
+                variables["params"]
+            )
+            return out, stats, grads
+
+        for train in (False, True):
+            out_a, stats_a, g_a = run(ref_model, train)
+            out_b, stats_b, g_b = run(lean_model, train)
+            np.testing.assert_allclose(out_a, out_b, rtol=2e-4, atol=2e-4)
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4),
+                stats_a,
+                stats_b,
+            )
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3),
+                g_a,
+                g_b,
+            )
+
+    def test_block_remat_matches_baseline(self):
+        import jax
+        import numpy as np
+
+        ref_model, variables, x = self._build(block_remat=False)
+        rem_model, rem_vars, _ = self._build(block_remat=True)
+        assert jax.tree_util.tree_structure(
+            rem_vars
+        ) == jax.tree_util.tree_structure(variables)
+
+        def grad_of(model):
+            def f(params):
+                out, _ = model.apply(
+                    {"params": params, "batch_stats": variables["batch_stats"]},
+                    x,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                return (out * out).mean()
+
+            return jax.value_and_grad(f)(variables["params"])
+
+        la, ga = grad_of(ref_model)
+        lb, gb = grad_of(rem_model)
+        np.testing.assert_allclose(la, lb, rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5),
+            ga,
+            gb,
+        )
+
+
 class TestMaterializeCacheKey:
     def test_quality_changes_key(self, tmp_path):
         from ihpr_tpu.data import skeletons

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Measure backbone-backward optimization variants on the real chip.
+
+VERDICT r2 #1: the flagship step is HBM-bound in the backbone backward
+(BN/ReLU elementwise chains between dgrad/wgrad matmuls, ~11 ms of the
+25 ms B=32 step). This harness A/Bs the candidate levers IN SITU on the
+production train step (B=128, lean metrics, donated state — exactly
+bench.py's methodology: chained steps, one scalar pull at the end):
+
+  baseline     flagship h36m3d_r50 as committed
+  lean_bn      bn_mode='lean'  (bf16 normalize chains, fp32 stats)
+  remat        block_remat     (save block inputs only, recompute)
+  lean_remat   both
+  bf16_logits  fp32_logits=False (halves integral-kernel HBM traffic)
+  all          lean_bn + remat + bf16_logits
+
+Each variant is wrapped in try/except so a Mosaic/compile failure exits
+cleanly (an unclean TPU client exit seat-locks the tunnel — CLAUDE.md).
+
+    PYTHONUNBUFFERED=1 python tools/bwd_experiments.py [--variants a,b] \
+        > /tmp/bwd_exp.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VARIANTS = {
+    "baseline": {},
+    "lean_bn": dict(bn_mode="lean"),
+    "remat": dict(block_remat=True),
+    "lean_remat": dict(bn_mode="lean", block_remat=True),
+    "bf16_logits": dict(fp32_logits=False),
+    "all": dict(bn_mode="lean", block_remat=True, fp32_logits=False),
+}
+
+
+def measure(cfg, batches, iters=30, warmup=3):
+    import jax
+
+    from ihpr_tpu.models.pose_net import build_pose_net
+    from ihpr_tpu.parallel import create_train_state, make_mesh, make_train_step
+
+    mesh = make_mesh()
+    model = build_pose_net(cfg)
+    state, tx = create_train_state(model, cfg, jax.random.key(0), 100, mesh=mesh)
+    step = make_train_step(model, tx, cfg, mesh, donate=True, lean=True)
+    rng = jax.random.key(1)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, batches[0], rng)
+    loss0 = float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+    for i in range(warmup):
+        state, metrics = step(state, batches[i % 2], rng)
+    _ = float(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batches[i % 2], rng)
+    loss = float(metrics["loss"])  # ONE pull forces the chained pipeline
+    dt = (time.perf_counter() - t0) / iters
+    assert loss == loss, "NaN loss"
+    del state
+    return dt, compile_s, loss0
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--variants", default=",".join(VARIANTS))
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+
+    from ihpr_tpu.config import get_config
+    from ihpr_tpu.data import skeletons
+    from ihpr_tpu.data.datasets import PoseDataset, make_synthetic
+    from ihpr_tpu.data.pipeline import BatchLoader, prefetch_to_device
+    from ihpr_tpu.parallel import batch_sharding, make_mesh
+
+    base = get_config("h36m3d_r50")
+    n_chips = len(jax.devices())
+    batch = base.optim.batch_size_per_device * n_chips
+    print(f"backend {jax.default_backend()} x{n_chips}, global batch {batch}")
+
+    skel = skeletons.H36M
+    ds = PoseDataset(
+        "Human36M", skel, make_synthetic(skel, 3 * batch, seed=0, img_size=320), True
+    )
+    loader = BatchLoader([ds], base, batch, train=True, num_workers=8)
+    sharding = batch_sharding(make_mesh())
+    batches = [b for b, _ in prefetch_to_device(loader.epoch(0), sharding)][:2]
+
+    results = {}
+    for name in args.variants.split(","):
+        kw = VARIANTS[name]
+        cfg = base.replace(
+            name=f"exp_{name}", model=dataclasses.replace(base.model, **kw)
+        )
+        try:
+            dt, compile_s, loss0 = measure(cfg, batches, iters=args.iters)
+            ips = batch / dt / n_chips
+            results[name] = round(ips, 1)
+            print(
+                f"{name:12s} {dt * 1e3:7.1f} ms/step  {ips:8.1f} img/s/chip "
+                f"(compile {compile_s:.0f}s, first loss {loss0:.3f})",
+                flush=True,
+            )
+        except Exception:
+            print(f"{name:12s} FAILED:", flush=True)
+            traceback.print_exc()
+            results[name] = None
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

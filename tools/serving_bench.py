@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Sustained serving throughput for the batched inference path (config #5).
+
+VERDICT r2 Weak #5: PARITY.md had a single-request latency datapoint
+(173 ms / 5-person request, upload-bound through the axon tunnel) but no
+sustained-throughput number for the "batched inference server path". This
+tool measures both:
+
+  1. request latency — one synchronous 5-person ``PoseServer.predict``
+     (raw frames + bboxes -> native C++ warp -> device forward [flip-test
+     one 2B dispatch] -> host warp-back), matching the committed number;
+  2. sustained img/s — a steady stream of pre-cropped patches through
+     ``PoseServer.submit_patches``: host preprocessing (uint8 staging)
+     of chunk i+1 overlaps the device forward of chunk i because submits
+     are async; ONE scalar pull at the end forces the whole chain (the
+     tunnel's block_until_ready lies — CLAUDE.md).
+
+Caveats stated in the output: this host has 1 CPU core, so the host-side
+warp leg is a serial lower bound (>=3 real cores overlap it fully), and
+upload bandwidth through the tunnel is charged to the measurement.
+
+    PYTHONUNBUFFERED=1 python tools/serving_bench.py > /tmp/serving.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ihpr_tpu.config import get_config
+    from ihpr_tpu.data import skeletons
+    from ihpr_tpu.data.datasets import make_synthetic, render_synthetic_image
+    from ihpr_tpu.engine.server import PoseServer
+    from ihpr_tpu.models.pose_net import build_pose_net
+    from ihpr_tpu.parallel import create_train_state
+
+    cfg = get_config("h36m3d_r50")  # production bf16 serving config
+    skel = skeletons.get_skeleton(cfg.data.testset)
+    model = build_pose_net(cfg, skel.joint_num)
+    state, _ = create_train_state(model, cfg, jax.random.key(0), steps_per_epoch=1)
+    max_batch = 32
+    server = PoseServer(
+        cfg, state.params, state.batch_stats, max_batch=max_batch, flip_test=True
+    )
+    in_h, in_w = cfg.data.input_shape
+
+    # --- 1. single-request latency (5 people in one 640x480 frame) -------
+    samples = make_synthetic(skel, 5, seed=77, img_size=480)
+    frames = [render_synthetic_image(s) for s in samples]
+    bboxes = np.stack([s["bbox"] for s in samples])
+    server.predict(frames, bboxes)  # warmup/compile (max_batch-padded fwd)
+    lat = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        res = server.predict(frames, bboxes)
+        # predict syncs internally (np.asarray per chunk)
+        lat.append(time.perf_counter() - t0)
+        assert len(res) == 5
+    lat_ms = 1e3 * float(np.median(lat))
+    print(f"request latency (5-person, flip-test): {lat_ms:.1f} ms")
+
+    # --- 2. sustained throughput: streamed pre-cropped patches -----------
+    rng = np.random.RandomState(0)
+    n_chunks = 24
+    patches = rng.randint(
+        0, 255, (max_batch, in_h, in_w, 3), np.uint8
+    )  # content is irrelevant to throughput; shape/dtype match production
+    server.submit_patches(patches)  # warmup (already compiled at max_batch)
+
+    handles = []
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        # Host staging work per chunk (copy ~= what a zero-decode
+        # preprocessor leaves); submit is async so the device overlaps it.
+        chunk = patches.copy()
+        handles.append(server.submit_patches(chunk))
+    total = float(jnp.stack([h.sum() for h in handles]).sum())  # ONE pull
+    dt = time.perf_counter() - t0
+    assert np.isfinite(total)
+    n_imgs = n_chunks * max_batch
+    sustained = n_imgs / dt
+    print(
+        f"sustained serving: {n_imgs} imgs in {dt:.3f} s = "
+        f"{sustained:.1f} img/s (flip-test on => 2x forward work/img)"
+    )
+
+    # --- 3. same stream including the native warp preprocessing ----------
+    from ihpr_tpu.data import native
+
+    warp_row = None
+    if native.available():
+        src = [f for f in frames] * ((max_batch + 4) // 5)
+        src = src[:max_batch]
+        invs = np.tile(np.eye(2, 3, dtype=np.float32), (max_batch, 1, 1))
+        native.warp_batch(src, invs, np.zeros(max_batch, np.int32), in_h, in_w)
+        handles = []
+        t0 = time.perf_counter()
+        for i in range(n_chunks):
+            warped = native.warp_batch(
+                src, invs, np.zeros(max_batch, np.int32), in_h, in_w
+            )
+            handles.append(server.submit_patches(warped))
+        total = float(jnp.stack([h.sum() for h in handles]).sum())
+        dt = time.perf_counter() - t0
+        assert np.isfinite(total)
+        warp_row = n_imgs / dt
+        print(
+            f"sustained incl. native warp (1 host core): {warp_row:.1f} img/s"
+        )
+
+    out = {
+        "request_latency_ms": round(lat_ms, 1),
+        "sustained_img_per_s": round(sustained, 1),
+        "sustained_incl_warp_img_per_s": (
+            None if warp_row is None else round(warp_row, 1)
+        ),
+        "max_batch": max_batch,
+        "flip_test": True,
+        "chunks": n_chunks,
+        "host_cores": os.cpu_count(),
+    }
+    print(json.dumps(out))
+    with open("/tmp/serving_bench.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
