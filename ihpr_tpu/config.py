@@ -58,6 +58,9 @@ class ModelConfig:
     # Rematerialize each residual block in backward (saves only block
     # inputs; trades spare MXU FLOPs for HBM residual traffic).
     block_remat: bool = False
+    # Remat flavor: "full" (recompute convs too; measured slower) or
+    # "conv_outs" (save conv outputs, recompute only BN/ReLU tails).
+    remat_policy: str = "full"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -193,9 +196,16 @@ CONFIGS = {
     # chip stands in for the whole reference node, same global batch, same
     # Adam lr=1e-3 schedule. Also measured fastest per-image on v5e
     # (tools/bench_sweep.py: 1364 img/s at B=128 vs 1285 at B=32).
+    # bn_mode="lean" since round 3: BN normalize as one per-channel bf16
+    # FMA (statistics stay fp32) — measured 95.3 -> 92.9 ms/step (+2.7%),
+    # the one winner of the backbone-backward sweep (tools/
+    # bwd_experiments.py; full/selective remat and bf16 stats all
+    # measured out — PARITY.md).
     "h36m3d_r50": _cfg(
         name="h36m3d_r50",
-        model=ModelConfig(compute_dtype="bfloat16", fp32_logits=False),
+        model=ModelConfig(
+            compute_dtype="bfloat16", fp32_logits=False, bn_mode="lean"
+        ),
         optim=OptimConfig(batch_size_per_device=128),
     ),
     # "highest" so fp32 means fp32 on the MXU (the default bf16-quantizes
@@ -206,7 +216,9 @@ CONFIGS = {
     # 4. ResNet-152 @ 288x384 input, mixed H36M+MPII batches, bf16 matmuls.
     "h36m3d_r152_384": _cfg(
         name="h36m3d_r152_384",
-        model=ModelConfig(resnet_type=152, compute_dtype="bfloat16"),
+        model=ModelConfig(
+            resnet_type=152, compute_dtype="bfloat16", bn_mode="lean"
+        ),
         data=DataConfig(
             input_shape=(384, 288),
             output_shape=(96, 72),
@@ -216,7 +228,7 @@ CONFIGS = {
     # 5. Multi-chip data-parallel training + batched inference server path.
     "h36m3d_r50_dp": _cfg(
         name="h36m3d_r50_dp",
-        model=ModelConfig(compute_dtype="bfloat16"),
+        model=ModelConfig(compute_dtype="bfloat16", bn_mode="lean"),
         parallel=ParallelConfig(data_axis_size=None),
     ),
 }

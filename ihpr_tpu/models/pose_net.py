@@ -32,6 +32,7 @@ class PoseNet(nn.Module):
     s2d_stem: bool = False
     bn_mode: str = "flax"
     block_remat: bool = False
+    remat_policy: str = "full"
 
     def setup(self):
         self.backbone = ResNetBackbone(
@@ -40,6 +41,7 @@ class PoseNet(nn.Module):
             self.s2d_stem,
             self.bn_mode,
             self.block_remat,
+            self.remat_policy,
         )
         self.head = DeconvHead(
             self.joint_num * self.depth_dim,
@@ -83,6 +85,7 @@ def build_pose_net(cfg: Config, joint_num: int | None = None) -> PoseNet:
         s2d_stem=cfg.model.s2d_stem,
         bn_mode=cfg.model.bn_mode,
         block_remat=cfg.model.block_remat,
+        remat_policy=cfg.model.remat_policy,
     )
 
 

@@ -131,12 +131,15 @@ class TestBNModesAndRemat:
                 g_b,
             )
 
-    def test_block_remat_matches_baseline(self):
+    @pytest.mark.parametrize("policy", ["full", "conv_outs"])
+    def test_block_remat_matches_baseline(self, policy):
         import jax
         import numpy as np
 
         ref_model, variables, x = self._build(block_remat=False)
-        rem_model, rem_vars, _ = self._build(block_remat=True)
+        rem_model, rem_vars, _ = self._build(
+            block_remat=True, remat_policy=policy
+        )
         assert jax.tree_util.tree_structure(
             rem_vars
         ) == jax.tree_util.tree_structure(variables)

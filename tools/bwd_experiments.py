@@ -40,6 +40,18 @@ VARIANTS = {
     "lean_remat": dict(bn_mode="lean", block_remat=True),
     "bf16_logits": dict(fp32_logits=False),
     "all": dict(bn_mode="lean", block_remat=True, fp32_logits=False),
+    # Selective remat: keep conv outputs, recompute only BN/ReLU tails.
+    "conv_outs": dict(block_remat=True, remat_policy="conv_outs"),
+    "lean_conv_outs": dict(
+        bn_mode="lean", block_remat=True, remat_policy="conv_outs"
+    ),
+    # Batch-size sweep at the winning bn mode ("_batch" = per-device batch;
+    # throughput normalizes per image so variants stay comparable).
+    # bf16 statistics too (measurement mode; numerically unsafe for prod).
+    "lean16": dict(bn_mode="lean16"),
+    "lean_b96": dict(bn_mode="lean", _batch=96),
+    "lean_b160": dict(bn_mode="lean", _batch=160),
+    "lean_b192": dict(bn_mode="lean", _batch=192),
 }
 
 
@@ -101,13 +113,25 @@ def main():
 
     results = {}
     for name in args.variants.split(","):
-        kw = VARIANTS[name]
+        kw = dict(VARIANTS[name])
+        vbatch_per_dev = kw.pop("_batch", base.optim.batch_size_per_device)
+        vbatch = vbatch_per_dev * n_chips
         cfg = base.replace(
-            name=f"exp_{name}", model=dataclasses.replace(base.model, **kw)
+            name=f"exp_{name}",
+            model=dataclasses.replace(base.model, **kw),
+            optim=dataclasses.replace(
+                base.optim, batch_size_per_device=vbatch_per_dev
+            ),
         )
+        vbatches = batches
+        if vbatch != batch:
+            vloader = BatchLoader([ds], cfg, vbatch, train=True, num_workers=8)
+            vbatches = [
+                b for b, _ in prefetch_to_device(vloader.epoch(0), sharding)
+            ][:2]
         try:
-            dt, compile_s, loss0 = measure(cfg, batches, iters=args.iters)
-            ips = batch / dt / n_chips
+            dt, compile_s, loss0 = measure(cfg, vbatches, iters=args.iters)
+            ips = vbatch / dt / n_chips
             results[name] = round(ips, 1)
             print(
                 f"{name:12s} {dt * 1e3:7.1f} ms/step  {ips:8.1f} img/s/chip "

@@ -66,6 +66,14 @@ def main():
     from ihpr_tpu.ops import joint_location_loss
 
     cfg = get_config("h36m3d_r50")
+    # A/B the BN implementation without an interface change:
+    #   IHPR_EXP_BN=lean python tools/step_breakdown.py
+    bn_mode = os.environ.get("IHPR_EXP_BN", cfg.model.bn_mode)
+    if bn_mode != cfg.model.bn_mode:
+        import dataclasses
+
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, bn_mode=bn_mode))
+        print(f"bn_mode={bn_mode}")
     B = cfg.optim.batch_size_per_device
     skel = skeletons.H36M
     J, D = skel.joint_num, cfg.data.depth_dim
@@ -131,7 +139,11 @@ def main():
     timeit(lambda o, p, g: opt_only(o, p, g)[0], (state.opt_state, state.params, grads), tag="adam update")
 
     # backbone-only fwd+bwd
-    bb = ResNetBackbone(resnet_type=cfg.model.resnet_type, compute_dtype=cdt)
+    bb = ResNetBackbone(
+        resnet_type=cfg.model.resnet_type,
+        compute_dtype=cdt,
+        bn_mode=cfg.model.bn_mode,
+    )
     bvars = bb.init(jax.random.key(0), img[:1], train=False)
 
     @jax.jit
@@ -164,6 +176,7 @@ def main():
         out_channels=J * D,
         compute_dtype=cdt,
         fp32_logits=cfg.model.fp32_logits,
+        bn_mode=cfg.model.bn_mode,
     )
     feat = jnp.asarray(np.random.RandomState(2).randn(B, 8, 8, 2048), cdt)
     hvars = head.init(jax.random.key(0), feat[:1], train=False, mode="coords", joint_num=J, depth_dim=D)
