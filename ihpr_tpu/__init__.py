@@ -44,6 +44,28 @@ def _enable_compilation_cache():
             "JAX_COMPILATION_CACHE_DIR",
             os.path.join(os.path.expanduser("~"), ".cache", "ihpr_jax_cache"),
         )
+        # Scope the cache by host CPU identity: XLA:CPU entries are AOT
+        # executables specialized to the COMPILING machine's ISA features;
+        # loading one on a host with fewer features can SIGILL mid-run
+        # (observed: a cache populated elsewhere crashed the 8-virtual-
+        # device CPU dryrun). TPU entries re-compile once per new host —
+        # cheap insurance against a poisoned cross-machine cache.
+        try:
+            import hashlib
+            import platform
+
+            flags = ""
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        flags = line
+                        break
+            fp = hashlib.sha1(
+                (platform.machine() + flags).encode()
+            ).hexdigest()[:10]
+            cache_dir = os.path.join(cache_dir, f"host_{fp}")
+        except OSError:
+            pass
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
