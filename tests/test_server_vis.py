@@ -39,6 +39,16 @@ def test_server_predict_patches_any_n(tiny_server):
     np.testing.assert_allclose(out[0], out2[0], atol=1e-5)
 
 
+def test_server_submit_patches_matches_sync(tiny_server):
+    """Async submit (pipelined-serving building block) returns the same
+    coords as the synchronous path, including short (padded) chunks."""
+    patches = np.random.RandomState(2).randint(0, 255, (3, 64, 64, 3)).astype(np.uint8)
+    sync = tiny_server.predict_patches(patches)
+    dev = tiny_server.submit_patches(patches)  # no host sync until asarray
+    np.testing.assert_allclose(np.asarray(dev), sync, atol=1e-5)
+    assert dev.shape == (3, 18, 3)
+
+
 def test_server_full_path_original_images(tiny_server):
     rng = np.random.RandomState(1)
     images = [rng.randint(0, 255, (200, 180, 3)).astype(np.uint8) for _ in range(3)]
