@@ -54,14 +54,23 @@ def _enable_compilation_cache():
             import hashlib
             import platform
 
-            flags = ""
+            # Hash the full CPU identity, not just the feature flags:
+            # LLVM picks per-model tuning features (prefer-no-scatter,
+            # AMX subsets, ...) from the detected CPU MODEL, so two hosts
+            # with identical cpuinfo `flags` lines can still produce
+            # mutually incompatible XLA:CPU AOT artifacts (observed:
+            # feature-mismatch warnings loading a foreign entry whose
+            # flags-line hash collided with this host's).
+            keep = ("flags", "model name", "model", "cpu family", "stepping")
+            ident = []
             with open("/proc/cpuinfo") as f:
                 for line in f:
-                    if line.startswith("flags"):
-                        flags = line
+                    if line.split("\t", 1)[0].strip() in keep:
+                        ident.append(line.strip())
+                    if len(ident) >= len(keep):
                         break
             fp = hashlib.sha1(
-                (platform.machine() + flags).encode()
+                (platform.machine() + "|".join(sorted(set(ident)))).encode()
             ).hexdigest()[:10]
             cache_dir = os.path.join(cache_dir, f"host_{fp}")
         except OSError:

@@ -61,6 +61,15 @@ class ModelConfig:
     # Remat flavor: "full" (recompute convs too; measured slower) or
     # "conv_outs" (save conv outputs, recompute only BN/ReLU tails).
     remat_policy: str = "full"
+    # Fuse Bottleneck 1x1 convs with their BatchNorm statistics in
+    # train mode (Pallas matmul kernel with stats epilogue + BN-apply
+    # prologue, ops/matmul_bn.py): bn1/bn3 statistics cost no extra HBM
+    # pass and conv3's input activation never materializes. Train-time
+    # only; eval and checkpoints are unaffected (identical param tree).
+    # Single-chip measurement feature — under a multi-chip mesh GSPMD
+    # has no partitioning rule for the kernel, so keep it off in DP
+    # configs until a shard_map wrapper exists.
+    fused_1x1: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

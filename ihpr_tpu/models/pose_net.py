@@ -33,6 +33,7 @@ class PoseNet(nn.Module):
     bn_mode: str = "flax"
     block_remat: bool = False
     remat_policy: str = "full"
+    fused_1x1: bool = False
 
     def setup(self):
         self.backbone = ResNetBackbone(
@@ -42,6 +43,7 @@ class PoseNet(nn.Module):
             self.bn_mode,
             self.block_remat,
             self.remat_policy,
+            self.fused_1x1,
         )
         self.head = DeconvHead(
             self.joint_num * self.depth_dim,
@@ -86,6 +88,7 @@ def build_pose_net(cfg: Config, joint_num: int | None = None) -> PoseNet:
         bn_mode=cfg.model.bn_mode,
         block_remat=cfg.model.block_remat,
         remat_policy=cfg.model.remat_policy,
+        fused_1x1=cfg.model.fused_1x1,
     )
 
 

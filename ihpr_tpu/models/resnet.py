@@ -55,6 +55,24 @@ class _LeanBN(nn.Module):
     # way) and E[x^2]-E[x]^2 in bf16 is catastrophically cancellative, so
     # this stays a measurement mode, not a production one.
     stats_in_dtype: bool = False
+    # Estimate the batch statistics from every s-th image ROW instead of
+    # the full tensor. MEASURED OUT on the flagship step (1075 img/s at
+    # s=4 vs 1373 full): the strided slice's backward is a full-size
+    # pad-scatter plus an add, so bwd GAINS passes; kept as the recorded
+    # negative result (tools/bwd_experiments.py lean_subN).
+    stats_subsample: int = 1
+    # Do not backpropagate through mean/var (lax.stop_gradient on the
+    # batch statistics): forward semantics identical to standard BN, but
+    # the stats-backward reduces (d mean / d var terms — reduces over
+    # dy and dy*x per BN) disappear. MEASURED OUT for from-scratch
+    # training: 1512 img/s/chip but the flagship accuracy run plateaus
+    # at chance with exploding |g| — without the stats backward, BN
+    # loses its gradient-projection property (updates inflate
+    # activations unchecked). "var": stop-grad the VARIANCE only — this
+    # deletes the bwd reduce of dy*x (the one that re-reads the
+    # activation tensor) while keeping the mean-centering projection
+    # (a dy-only reduce) that stabilizes training.
+    stats_stop_grad: str | bool = False
 
     @nn.compact
     def __call__(self, x, use_running_average: bool):
@@ -72,7 +90,16 @@ class _LeanBN(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xf = x.astype(self.dtype if self.stats_in_dtype else jnp.float32)
+            s = self.stats_subsample
+            if s > 1 and x.ndim == 4 and x.shape[1] >= 2 * s:
+                # Offset keeps the subsample centered-ish; H need not
+                # divide s (strided slice handles the remainder).
+                x_stats = x[:, (s - 1) // 2 :: s]
+            else:
+                x_stats = x
+            xf = x_stats.astype(
+                self.dtype if self.stats_in_dtype else jnp.float32
+            )
             mean = jnp.mean(xf, axis=(0, 1, 2))
             var = jnp.maximum(
                 jnp.mean(xf * xf, axis=(0, 1, 2)) - mean * mean, 0.0
@@ -84,6 +111,10 @@ class _LeanBN(nn.Module):
                 ra_var.value = (
                     self.momentum * ra_var.value + (1 - self.momentum) * var
                 )
+            if self.stats_stop_grad:
+                if self.stats_stop_grad != "var":
+                    mean = jax.lax.stop_gradient(mean)
+                var = jax.lax.stop_gradient(var)
         rstd = jax.lax.rsqrt(var + self.epsilon)
         mul = (scale * rstd).astype(self.dtype)
         add = (bias - mean * scale * rstd).astype(self.dtype)
@@ -94,22 +125,38 @@ class _BN(nn.Module):
     """BatchNorm with torch-compatible defaults; stats in fp32.
 
     ``mode``: "flax" = nn.BatchNorm; "lean" = ``_LeanBN`` (bf16 normalize
-    chain; same tree layout). The inner module is named ``BatchNorm_0`` in
-    both modes so the two are checkpoint-interchangeable."""
+    chain; same tree layout); "lean_subN" (e.g. "lean_sub4") = lean with
+    batch statistics estimated from every N-th image row (see
+    ``_LeanBN.stats_subsample``); "frozen" = ``_LeanBN`` forced onto
+    running statistics even in train mode — a MEASUREMENT mode that
+    deletes every batch-stats reduce (fwd) and stats-backward term while
+    keeping the apply FMA, bounding from above what any conv+BN-stats
+    fusion could save (tools/bwd_experiments.py). The inner module is
+    named ``BatchNorm_0`` in all modes so they are
+    checkpoint-interchangeable."""
 
     dtype: Any = jnp.float32
     mode: str = "flax"
 
     @nn.compact
     def __call__(self, x, train: bool):
-        if self.mode in ("lean", "lean16"):
+        if self.mode.startswith("lean") or self.mode == "frozen":
+            sub = (
+                int(self.mode[len("lean_sub") :])
+                if self.mode.startswith("lean_sub")
+                else 1
+            )
             return _LeanBN(
                 self.dtype,
                 momentum=0.9,
                 epsilon=1e-5,
                 stats_in_dtype=self.mode == "lean16",
+                stats_subsample=sub,
+                stats_stop_grad=(
+                    "var" if self.mode == "lean_sgv" else self.mode == "lean_sg"
+                ),
                 name="BatchNorm_0",
-            )(x, use_running_average=not train)
+            )(x, use_running_average=(not train) or self.mode == "frozen")
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,  # torch momentum=0.1 == keep 0.9 of the old stat
@@ -147,6 +194,7 @@ class BasicBlock(nn.Module):
     stride: int
     dtype: Any
     bn_mode: str = "flax"
+    fused_1x1: bool = False  # no 1x1 convs to fuse; accepted for symmetry
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -162,14 +210,90 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+class _Conv1x1Param(nn.Module):
+    """Bare kernel parameter for a 1x1 conv consumed by the fused
+    matmul+BN kernel; path/shape/init match ``nn.Conv(features, (1,1),
+    use_bias=False)`` so checkpoints and the torch converter see the
+    identical tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, cin, self.features),
+            jnp.float32,
+        )
+
+
+class _SumBN(nn.Module):
+    """BatchNorm parameterized by PRE-COMPUTED per-channel sums: takes
+    (s1, s2, count) from a fused conv+stats kernel (ops/matmul_bn.py) and
+    returns the folded (mul, add) pair, updating running stats exactly
+    like ``_LeanBN``. Params/variables live under an inner scope named
+    ``BatchNorm_0`` so the tree is interchangeable with ``_BN``."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, s1, s2, count: float):
+        return _SumBNInner(self.momentum, self.epsilon, name="BatchNorm_0")(
+            s1, s2, count
+        )
+
+
+class _SumBNInner(nn.Module):
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, s1, s2, count: float):
+        import jax
+
+        feat = s1.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        mean = s1 / count
+        var = jnp.maximum(s2 / count - mean * mean, 0.0)
+        if not self.is_initializing():
+            ra_mean.value = (
+                self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            )
+            ra_var.value = (
+                self.momentum * ra_var.value + (1 - self.momentum) * var
+            )
+        rstd = jax.lax.rsqrt(var + self.epsilon)
+        mul = scale * rstd
+        add = bias - mean * scale * rstd
+        return mul, add
+
+
 class Bottleneck(nn.Module):
     features: int  # bottleneck width; output is 4x this
     stride: int
     dtype: Any
     bn_mode: str = "flax"
+    fused_1x1: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.fused_1x1 and train:
+            from ihpr_tpu.ops import matmul_bn
+
+            b, h, w_sp, cin = x.shape
+            m = b * h * w_sp
+            e = self.features
+            if matmul_bn.supported(m, cin, e, jnp.dtype(self.dtype).itemsize):
+                return self._fused_call(x, train)
         residual = x
         y = _conv(self.features, 1, 1, self.dtype, name="conv1")(x)
         y = _BN(self.dtype, self.bn_mode, name="bn1")(y, train)
@@ -184,6 +308,41 @@ class Bottleneck(nn.Module):
             residual = _conv(self.features * 4, 1, self.stride, self.dtype, name="down_conv")(x)
             residual = _BN(self.dtype, self.bn_mode, name="down_bn")(residual, train)
         return nn.relu(y + residual)
+
+    def _fused_call(self, x, train: bool):
+        """Fused-1x1 train path (ops/matmul_bn.py): conv1 and conv3 run as
+        Pallas matmuls with a BN-statistics epilogue, conv3 additionally
+        with the bn2-apply+ReLU prologue — bn1/bn3 statistics cost no
+        extra HBM pass and conv3's input activation never materializes
+        (fwd or bwd). Identical parameter tree to the unfused path; eval
+        (running statistics) always takes the unfused path."""
+        from ihpr_tpu.ops.matmul_bn import fused_matmul_bn
+
+        residual = x
+        b, h, w_sp, cin = x.shape
+        e = self.features
+        dt = self.dtype
+        w1 = _Conv1x1Param(e, name="conv1")(cin).reshape(cin, e).astype(dt)
+        x2 = x.astype(dt).reshape(b * h * w_sp, cin)
+        y1, s1_1, s2_1 = fused_matmul_bn(x2, w1)
+        mul1, add1 = _SumBN(name="bn1")(s1_1, s2_1, float(x2.shape[0]))
+        a1 = jnp.maximum(y1 * mul1.astype(dt) + add1.astype(dt), 0)
+        a1 = a1.reshape(b, h, w_sp, e)
+        c2 = _conv(e, 3, self.stride, dt, name="conv2")(a1)
+        bb, h2, w2, _ = c2.shape
+        m2 = bb * h2 * w2
+        c2f = c2.astype(jnp.float32).reshape(m2, e)
+        s1_2 = jnp.sum(c2f, axis=0)
+        s2_2 = jnp.sum(c2f * c2f, axis=0)
+        mul2, add2 = _SumBN(name="bn2")(s1_2, s2_2, float(m2))
+        w3 = _Conv1x1Param(e * 4, name="conv3")(e).reshape(e, e * 4).astype(dt)
+        y3, s1_3, s2_3 = fused_matmul_bn(c2.reshape(m2, e), w3, mul2, add2)
+        mul3, add3 = _SumBN(name="bn3")(s1_3, s2_3, float(m2))
+        y3 = (y3 * mul3.astype(dt) + add3.astype(dt)).reshape(bb, h2, w2, e * 4)
+        if residual.shape != y3.shape:
+            residual = _conv(e * 4, 1, self.stride, dt, name="down_conv")(x)
+            residual = _BN(dt, self.bn_mode, name="down_bn")(residual, train)
+        return nn.relu(y3 + residual)
 
 
 class ResNetBackbone(nn.Module):
@@ -211,6 +370,9 @@ class ResNetBackbone(nn.Module):
     # too — measured 13% SLOWER in situ); "conv_outs" saves every conv
     # output and recomputes only BN/ReLU elementwise.
     remat_policy: str = "full"
+    # Fuse Bottleneck 1x1 convs with BN statistics (train-mode Pallas
+    # kernel, ops/matmul_bn.py); see ModelConfig.fused_1x1.
+    fused_1x1: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -270,6 +432,7 @@ class ResNetBackbone(nn.Module):
                     stride,
                     self.compute_dtype,
                     self.bn_mode,
+                    fused_1x1=self.fused_1x1,
                     name=f"layer{stage + 1}_{i}",
                 )(x, train)
         return x

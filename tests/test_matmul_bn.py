@@ -1,0 +1,160 @@
+"""Equivalence tests for the fused 1x1-conv + BN-statistics op
+(ops/matmul_bn.py) and its Bottleneck integration (fused_1x1 flag).
+
+CPU: the Pallas kernels run in interpret mode (IHPR_PALLAS=interpret)
+or fall back to the plain-JAX reference; both are pinned against
+jax.grad of the unfused composition.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ihpr_tpu.ops import matmul_bn
+
+
+def _oracle(x, w, mul, add):
+    a = x
+    if mul is not None:
+        a = jnp.maximum(x.astype(jnp.float32) * mul + add, 0.0).astype(x.dtype)
+    y = jnp.dot(
+        a, w, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return y, jnp.sum(y, axis=0), jnp.sum(y * y, axis=0)
+
+
+def _rand(shape, seed, dtype=np.float32):
+    return jnp.asarray(
+        np.random.RandomState(seed).randn(*shape).astype(dtype)
+    )
+
+
+@pytest.mark.parametrize("apply_in", [False, True])
+@pytest.mark.parametrize("mode", ["interpret", "off"])
+def test_fused_matmul_bn_fwd_bwd(apply_in, mode, monkeypatch):
+    monkeypatch.setenv("IHPR_PALLAS", mode)
+    m, k, n = 256, 128, 128
+    x = _rand((m, k), 0)
+    w = _rand((k, n), 1) * 0.1
+    mul = jnp.abs(_rand((k,), 2)) + 0.5 if apply_in else None
+    add = _rand((k,), 3) * 0.1 if apply_in else None
+
+    def loss_fused(x, w, mul, add):
+        y, s1, s2 = matmul_bn.fused_matmul_bn(x, w, mul, add)
+        return (
+            jnp.sum(y * y) + 0.5 * jnp.sum(s1 * jnp.arange(n))
+            + 1e-3 * jnp.sum(s2)
+        )
+
+    def loss_oracle(x, w, mul, add):
+        y, s1, s2 = _oracle(x, w, mul, add)
+        return (
+            jnp.sum(y * y) + 0.5 * jnp.sum(s1 * jnp.arange(n))
+            + 1e-3 * jnp.sum(s2)
+        )
+
+    outs_f = matmul_bn.fused_matmul_bn(x, w, mul, add)
+    outs_o = _oracle(x, w, mul, add)
+    for f, o in zip(outs_f, outs_o):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(o), atol=2e-3, rtol=2e-5)
+
+    argnums = (0, 1, 2, 3) if apply_in else (0, 1)
+    gf = jax.grad(loss_fused, argnums=argnums)(x, w, mul, add)
+    go = jax.grad(loss_oracle, argnums=argnums)(x, w, mul, add)
+    for a, b in zip(gf, go):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-4
+        )
+
+
+def test_supported_shapes():
+    assert matmul_bn.supported(128 * 16 * 16, 1024, 256)  # stage3 conv1
+    assert matmul_bn.supported(128 * 64 * 64, 256, 64)  # stage1 conv1
+    assert not matmul_bn.supported(100, 256, 256)  # rows not 8-aligned
+
+
+def test_bottleneck_fused_matches_unfused(monkeypatch):
+    """Same params, train mode: fused-path outputs / grads / batch_stats
+    must match the unfused path at fp32 (identical arithmetic)."""
+    monkeypatch.setenv("IHPR_PALLAS", "interpret")
+    from ihpr_tpu.models.resnet import Bottleneck
+
+    x = _rand((2, 8, 8, 256), 7) * 0.5
+    ref = Bottleneck(64, 1, jnp.float32, bn_mode="lean", fused_1x1=False)
+    fus = Bottleneck(64, 1, jnp.float32, bn_mode="lean", fused_1x1=True)
+    variables = ref.init(jax.random.key(0), x, True)
+
+    def run(mod, x):
+        return mod.apply(variables, x, True, mutable=["batch_stats"])
+
+    y_ref, vars_ref = run(ref, x)
+    y_fus, vars_fus = run(fus, x)
+    np.testing.assert_allclose(
+        np.asarray(y_fus), np.asarray(y_ref), atol=1e-4, rtol=1e-5
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        ),
+        vars_fus["batch_stats"],
+        vars_ref["batch_stats"],
+    )
+
+    def loss(mod, params, x):
+        y, _ = mod.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x,
+            True,
+            mutable=["batch_stats"],
+        )
+        return jnp.sum(y * y)
+
+    g_ref = jax.grad(lambda p: loss(ref, p, x))(variables["params"])
+    g_fus = jax.grad(lambda p: loss(fus, p, x))(variables["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=1e-4
+        ),
+        g_fus,
+        g_ref,
+    )
+
+
+def test_fused_full_model_step(monkeypatch):
+    """A fused_1x1 R50 train step runs end-to-end (reference fallback on
+    CPU) and produces finite loss/grads with the standard param tree."""
+    monkeypatch.setenv("IHPR_PALLAS", "off")
+    import dataclasses
+
+    from ihpr_tpu.config import get_config
+    from ihpr_tpu.models.pose_net import build_pose_net
+    from ihpr_tpu.parallel import create_train_state, make_mesh, make_train_step
+
+    cfg = get_config("h36m3d_r50")
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, resnet_type=50, fused_1x1=True, compute_dtype="float32"
+        ),
+        data=dataclasses.replace(
+            cfg.data, input_shape=(64, 64), output_shape=(16, 16), depth_dim=16
+        ),
+        optim=dataclasses.replace(cfg.optim, batch_size_per_device=2),
+    )
+    mesh = make_mesh()
+    model = build_pose_net(cfg)
+    state, tx = create_train_state(model, cfg, jax.random.key(0), 10, mesh=mesh)
+    step = make_train_step(model, tx, cfg, mesh, donate=True, lean=True)
+    nb = 2 * len(jax.devices())
+    batch = dict(
+        patch=np.zeros((nb, 64, 64, 3), np.uint8),
+        color_scale=np.ones((nb, 3), np.float32),
+        joint_img=np.zeros((nb, 18, 3), np.float32),
+        joint_vis=np.ones((nb, 18, 1), np.float32),
+        joints_have_depth=np.ones((nb, 1), np.float32),
+    )
+    state, metrics = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))

@@ -131,6 +131,42 @@ class TestBNModesAndRemat:
                 g_b,
             )
 
+    def test_lean_sub_estimates_full_stats(self):
+        """bn_mode='lean_subN' (stats from every N-th image row) must keep
+        the identical variable tree and produce eval outputs equal to
+        'lean' (eval never subsamples), while train-mode statistics stay
+        close to the full-tensor statistics (it is an estimator, not an
+        exact drop-in — the A/B accuracy runs price the residual)."""
+        import jax
+        import numpy as np
+
+        ref_model, variables, x = self._build(bn_mode="lean")
+        sub_model, sub_vars, _ = self._build(bn_mode="lean_sub4")
+        assert jax.tree_util.tree_structure(
+            sub_vars
+        ) == jax.tree_util.tree_structure(variables)
+
+        def run(model, train):
+            out, upd = model.apply(
+                {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]},
+                x, train=train, mutable=["batch_stats"],
+            )
+            return out, upd["batch_stats"]
+
+        out_a, _ = run(ref_model, False)
+        out_b, _ = run(sub_model, False)
+        np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+        out_a, stats_a = run(ref_model, True)
+        out_b, stats_b = run(sub_model, True)
+        # Train outputs/stats: close, not identical (estimator).
+        np.testing.assert_allclose(out_a, out_b, rtol=0.2, atol=0.2)
+        flat_a = jax.tree.leaves(stats_a)
+        flat_b = jax.tree.leaves(stats_b)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(a, b, rtol=0.25, atol=0.1)
+
     @pytest.mark.parametrize("policy", ["full", "conv_outs"])
     def test_block_remat_matches_baseline(self, policy):
         import jax

@@ -134,6 +134,13 @@ def main():
         "by --aug_bar_mult since aug makes the synthetic task harder",
     )
     ap.add_argument("--aug_bar_mult", type=float, default=1.4)
+    ap.add_argument(
+        "--bn_mode",
+        default=None,
+        help="override cfg.model.bn_mode (e.g. lean_sg) — used to price "
+        "the accuracy cost of a perf-mode candidate before adopting it "
+        "in the production configs",
+    )
     args = ap.parse_args()
 
     hue_mode = args.hue_mode or (
@@ -238,9 +245,28 @@ def main():
     train_size = args.train_size or defaults["train_size"]
     test_size = args.test_size or defaults["test_size"]
     end_epoch = args.end_epoch or defaults["end_epoch"]
+    if args.end_epoch and args.end_epoch != defaults["end_epoch"]:
+        # Scale the step-decay epochs with the overridden horizon —
+        # otherwise e.g. `--preset r152 --end_epoch 100` would decay lr
+        # at the preset's epoch 22 and freeze the from-scratch plateau
+        # in place for the remaining 78 epochs.
+        scale = args.end_epoch / defaults["end_epoch"]
+        cfg = cfg.replace(
+            optim=dataclasses.replace(
+                cfg.optim,
+                end_epoch=args.end_epoch,
+                lr_dec_epoch=tuple(
+                    max(1, round(e * scale)) for e in cfg.optim.lr_dec_epoch
+                ),
+            )
+        )
     bar = args.mpjpe_bar_mm or defaults["bar"]
     out_dir = args.output_dir or f"/tmp/accuracy_{args.preset}"
     cfg = cfg.replace(output_dir=out_dir)
+    if args.bn_mode:
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, bn_mode=args.bn_mode)
+        )
 
     if args.use_aug:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, use_aug=True))

@@ -49,6 +49,27 @@ VARIANTS = {
     # throughput normalizes per image so variants stay comparable).
     # bf16 statistics too (measurement mode; numerically unsafe for prod).
     "lean16": dict(bn_mode="lean16"),
+    # Running-stats-only BN (measurement mode): deletes every batch-stats
+    # reduce and stats-bwd term while keeping the apply FMA — an upper
+    # bound on what conv+BN-stats epilogue fusion could ever recover.
+    "frozen_bn": dict(bn_mode="frozen"),
+    # Subsampled BN statistics: estimate mean/var from every N-th image
+    # row — the stats reduce and its backward read 1/N of the bytes,
+    # approaching the frozen_bn bound while keeping live batch stats
+    # (still >=65k samples/channel at sub8; the torch reference's
+    # per-GPU stats use a comparable sample count).
+    "lean_sub4": dict(bn_mode="lean_sub4"),
+    "lean_sub8": dict(bn_mode="lean_sub8"),
+    # Live batch stats, but lax.stop_gradient on mean/var: forward
+    # identical to lean, stats-backward reduces deleted. Isolates the
+    # bwd share of the frozen_bn bound.
+    "lean_sg": dict(bn_mode="lean_sg"),
+    # Stop-grad on the variance only: deletes the bwd dy*x reduce (the
+    # activation re-read) but keeps the mean-centering projection that
+    # lean_sg's accuracy run showed is the stabilizer.
+    "lean_sgv": dict(bn_mode="lean_sgv"),
+    # Pallas fused 1x1-conv + BN-stats (epilogue) + bn2-apply (prologue).
+    "fused_1x1": dict(bn_mode="lean", fused_1x1=True),
     "lean_b96": dict(bn_mode="lean", _batch=96),
     "lean_b160": dict(bn_mode="lean", _batch=160),
     "lean_b192": dict(bn_mode="lean", _batch=192),

@@ -88,6 +88,64 @@ def main():
     assert d96 < 5e-4, d96
     print(f"2b. 96x72 plane (config #4): {d96:.2e} OK")
 
+    # --- 2c. fused matmul+BN-stats kernel (ops/matmul_bn.py) ---
+    # Mosaic lowering + numerics: fp32 gradcheck at a supported fp32
+    # shape, then a bf16 fwd/bwd run at the Bottleneck stage-3 conv1
+    # shape the production path would use. Only the real chip exercises
+    # the Mosaic path (CPU tests run in interpret mode).
+    from ihpr_tpu.ops.matmul_bn import _reference, fused_matmul_bn, supported
+
+    m3, k3, n3 = 2048, 256, 512
+    xb = jnp.asarray(rng.randn(m3, k3).astype(np.float32) * 0.1)
+    wb = jnp.asarray(rng.randn(k3, n3).astype(np.float32) * 0.05)
+    mulb = jnp.asarray(np.abs(rng.randn(k3)).astype(np.float32) + 0.5)
+    addb = jnp.asarray(rng.randn(k3).astype(np.float32) * 0.1)
+    assert supported(m3, k3, n3, 4)
+
+    def fused_loss(x, w, mul, add):
+        y, s1, s2 = fused_matmul_bn(x, w, mul, add)
+        return jnp.sum(y * y) + jnp.sum(s1) + 1e-3 * jnp.sum(s2)
+
+    def ref_loss(x, w, mul, add):
+        y, s1, s2 = _reference(x, w, mul, add)
+        return jnp.sum(y * y) + jnp.sum(s1) + 1e-3 * jnp.sum(s2)
+
+    yf, s1f, s2f = jax.jit(fused_matmul_bn)(xb, wb, mulb, addb)
+    yr, s1r, s2r = jax.jit(_reference)(xb, wb, mulb, addb)
+    dy = float(jnp.abs(yf - yr).max())
+    ds = float(jnp.abs(s1f - s1r).max() / (jnp.abs(s1r).max() + 1))
+    assert dy < 1e-3 and ds < 1e-4, (dy, ds)
+    gf = jax.jit(jax.grad(fused_loss, argnums=(0, 1, 2, 3)))(xb, wb, mulb, addb)
+    gr = jax.jit(jax.grad(ref_loss, argnums=(0, 1, 2, 3)))(xb, wb, mulb, addb)
+    gmax = max(
+        float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1))
+        for a, b in zip(gf, gr)
+    )
+    assert gmax < 1e-4, gmax
+    print(f"2c. fused matmul+BN kernel fwd {dy:.2e} grad {gmax:.2e} OK")
+
+    # bf16 at the production stage-3 conv1 shape (M=B*H*W, 1024 -> 256):
+    # fused vs plain-JAX twin, both in bf16 (reduction-order differences
+    # only — the stats epilogue accumulates fp32 either way).
+    mh, kh, nh = 4096, 1024, 256
+    xh = jnp.asarray(rng.randn(mh, kh).astype(np.float32) * 0.1).astype(jnp.bfloat16)
+    wh = jnp.asarray(rng.randn(kh, nh).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+    mulh = jnp.asarray(np.abs(rng.randn(kh)).astype(np.float32) + 0.5)
+    addh = jnp.asarray(rng.randn(kh).astype(np.float32) * 0.1)
+    assert supported(mh, kh, nh, 2)
+    yh, s1h, s2h = jax.jit(fused_matmul_bn)(xh, wh, mulh, addh)
+    yhr, s1hr, s2hr = jax.jit(_reference)(xh, wh, mulh, addh)
+    rel = float(jnp.abs(s1h - s1hr).max() / (jnp.abs(s1hr).max() + 1e-6))
+    gh = jax.jit(jax.grad(lambda *a: fused_loss(*a), argnums=(0, 1)))(xh, wh, mulh, addh)
+    ghr = jax.jit(jax.grad(lambda *a: ref_loss(*a), argnums=(0, 1)))(xh, wh, mulh, addh)
+    relg = max(
+        float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max()
+              / (jnp.abs(b.astype(jnp.float32)).max() + 1e-6))
+        for a, b in zip(gh, ghr)
+    )
+    assert rel < 2e-2 and relg < 3e-2 and bool(jnp.isfinite(yh.astype(jnp.float32)).all()), (rel, relg)
+    print(f"2d. fused matmul+BN bf16 stage-3 shape: stats {rel:.2e} grad {relg:.2e} OK")
+
     # --- 3. flagship train step ---
     from ihpr_tpu.config import get_config
     from ihpr_tpu.data import skeletons
