@@ -66,9 +66,9 @@ class ModelConfig:
     # prologue, ops/matmul_bn.py): bn1/bn3 statistics cost no extra HBM
     # pass and conv3's input activation never materializes. Train-time
     # only; eval and checkpoints are unaffected (identical param tree).
-    # Single-chip measurement feature — under a multi-chip mesh GSPMD
-    # has no partitioning rule for the kernel, so keep it off in DP
-    # configs until a shard_map wrapper exists.
+    # Under a multi-chip mesh, pass the mesh to build_pose_net: the
+    # kernel then launches per-shard via shard_map with psummed
+    # statistics (sync-BN, matching the unfused GSPMD path).
     fused_1x1: bool = False
 
 

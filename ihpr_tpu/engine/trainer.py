@@ -62,7 +62,7 @@ class Trainer:
             f"global batch {global_batch}, {self.steps_per_epoch} steps/epoch"
         )
 
-        self.model = build_pose_net(cfg, self.loader.joint_num)
+        self.model = build_pose_net(cfg, self.loader.joint_num, mesh=self.mesh)
         rng = jax.random.key(cfg.seed)
         self.data_rng, init_rng = jax.random.split(rng)
         self.state, self.tx = create_train_state(

@@ -34,6 +34,10 @@ class PoseNet(nn.Module):
     block_remat: bool = False
     remat_policy: str = "full"
     fused_1x1: bool = False
+    # Mesh for fused_1x1's shard_map launch under data parallelism; the
+    # statistics psum makes it sync-BN like the unfused GSPMD path. None =
+    # single-device launch (or GSPMD fallback when unset under a mesh).
+    mesh: Any = None
 
     def setup(self):
         self.backbone = ResNetBackbone(
@@ -44,6 +48,7 @@ class PoseNet(nn.Module):
             self.block_remat,
             self.remat_policy,
             self.fused_1x1,
+            self.mesh,
         )
         self.head = DeconvHead(
             self.joint_num * self.depth_dim,
@@ -71,8 +76,14 @@ class PoseNet(nn.Module):
         )
 
 
-def build_pose_net(cfg: Config, joint_num: int | None = None) -> PoseNet:
-    """Reference: ``main/model.py:get_pose_net``."""
+def build_pose_net(
+    cfg: Config, joint_num: int | None = None, mesh=None
+) -> PoseNet:
+    """Reference: ``main/model.py:get_pose_net``.
+
+    ``mesh``: pass the training mesh when ``cfg.model.fused_1x1`` so the
+    fused kernel launches per-shard (shard_map) instead of tripping
+    GSPMD's missing pallas partitioning rule; ignored otherwise."""
     if joint_num is None:
         joint_num = cfg.joint_num
     return PoseNet(
@@ -89,6 +100,7 @@ def build_pose_net(cfg: Config, joint_num: int | None = None) -> PoseNet:
         block_remat=cfg.model.block_remat,
         remat_policy=cfg.model.remat_policy,
         fused_1x1=cfg.model.fused_1x1,
+        mesh=mesh if cfg.model.fused_1x1 else None,
     )
 
 

@@ -195,6 +195,7 @@ class BasicBlock(nn.Module):
     dtype: Any
     bn_mode: str = "flax"
     fused_1x1: bool = False  # no 1x1 convs to fuse; accepted for symmetry
+    mesh: Any = None  # likewise symmetry-only
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -283,6 +284,10 @@ class Bottleneck(nn.Module):
     dtype: Any
     bn_mode: str = "flax"
     fused_1x1: bool = False
+    # Device mesh whose first axis row-shards the batch: the fused kernel
+    # runs per-shard under shard_map with psummed statistics (sync-BN).
+    # None = single-device launch.
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -290,9 +295,12 @@ class Bottleneck(nn.Module):
             from ihpr_tpu.ops import matmul_bn
 
             b, h, w_sp, cin = x.shape
+            nshard = self.mesh.size if self.mesh is not None else 1
             m = b * h * w_sp
             e = self.features
-            if matmul_bn.supported(m, cin, e, jnp.dtype(self.dtype).itemsize):
+            if m % nshard == 0 and matmul_bn.supported(
+                m // nshard, cin, e, jnp.dtype(self.dtype).itemsize
+            ):
                 return self._fused_call(x, train)
         residual = x
         y = _conv(self.features, 1, 1, self.dtype, name="conv1")(x)
@@ -324,7 +332,7 @@ class Bottleneck(nn.Module):
         dt = self.dtype
         w1 = _Conv1x1Param(e, name="conv1")(cin).reshape(cin, e).astype(dt)
         x2 = x.astype(dt).reshape(b * h * w_sp, cin)
-        y1, s1_1, s2_1 = fused_matmul_bn(x2, w1)
+        y1, s1_1, s2_1 = fused_matmul_bn(x2, w1, mesh=self.mesh)
         mul1, add1 = _SumBN(name="bn1")(s1_1, s2_1, float(x2.shape[0]))
         a1 = jnp.maximum(y1 * mul1.astype(dt) + add1.astype(dt), 0)
         a1 = a1.reshape(b, h, w_sp, e)
@@ -336,7 +344,9 @@ class Bottleneck(nn.Module):
         s2_2 = jnp.sum(c2f * c2f, axis=0)
         mul2, add2 = _SumBN(name="bn2")(s1_2, s2_2, float(m2))
         w3 = _Conv1x1Param(e * 4, name="conv3")(e).reshape(e, e * 4).astype(dt)
-        y3, s1_3, s2_3 = fused_matmul_bn(c2.reshape(m2, e), w3, mul2, add2)
+        y3, s1_3, s2_3 = fused_matmul_bn(
+            c2.reshape(m2, e), w3, mul2, add2, mesh=self.mesh
+        )
         mul3, add3 = _SumBN(name="bn3")(s1_3, s2_3, float(m2))
         y3 = (y3 * mul3.astype(dt) + add3.astype(dt)).reshape(bb, h2, w2, e * 4)
         if residual.shape != y3.shape:
@@ -373,6 +383,9 @@ class ResNetBackbone(nn.Module):
     # Fuse Bottleneck 1x1 convs with BN statistics (train-mode Pallas
     # kernel, ops/matmul_bn.py); see ModelConfig.fused_1x1.
     fused_1x1: bool = False
+    # Mesh for the fused kernel's shard_map launch under data parallelism
+    # (statistics psummed to sync-BN); None = single-device.
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -433,6 +446,7 @@ class ResNetBackbone(nn.Module):
                     self.compute_dtype,
                     self.bn_mode,
                     fused_1x1=self.fused_1x1,
+                    mesh=self.mesh,
                     name=f"layer{stage + 1}_{i}",
                 )(x, train)
         return x

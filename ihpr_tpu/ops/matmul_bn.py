@@ -346,6 +346,9 @@ def fused_matmul_bn(
     w: jax.Array,
     mul: jax.Array | None = None,
     add: jax.Array | None = None,
+    *,
+    mesh=None,
+    axis: str | None = None,
 ):
     """(M, K) @ (K, N) with optional per-channel relu(x*mul+add) prologue
     and BN-statistics epilogue. Returns (y, s1, s2): y in x.dtype,
@@ -353,10 +356,28 @@ def fused_matmul_bn(
 
     Gradients flow to x, w, mul, add via a single fused backward kernel;
     mean/var/momentum updates belong OUTSIDE on the (N,) outputs.
+
+    ``mesh``: a ``jax.sharding.Mesh`` whose first (or ``axis``-named) axis
+    row-shards x — GSPMD has no partitioning rule for pallas_call, so the
+    multi-device path runs the kernel per-shard under ``jax.shard_map``
+    and psums the statistics into global sums (sync-BN semantics, same as
+    the unfused GSPMD path). Gradients flow through the shard_map (psum
+    transposes to a broadcast of the stats cotangents).
     """
     m, k = x.shape
     n = w.shape[1]
-    if _use_pallas() and supported(m, k, n, x.dtype.itemsize):
+    if mesh is not None and mesh.size > 1:
+        ax = axis or mesh.axis_names[0]
+        nshard = mesh.shape[ax]
+        if (
+            _use_pallas()
+            and m % nshard == 0
+            and supported(m // nshard, k, n, x.dtype.itemsize)
+        ):
+            return _sharded_call(x, w, mul, add, mesh, ax)
+        # Fallback: plain-JAX twin under GSPMD (XLA partitions the matmul
+        # and turns the stats sums into cross-device reduces itself).
+    elif _use_pallas() and supported(m, k, n, x.dtype.itemsize):
         if mul is not None:
             return _fused_apply(
                 x, w, mul.astype(jnp.float32), add.astype(jnp.float32)
@@ -368,3 +389,34 @@ def fused_matmul_bn(
         None if mul is None else mul.astype(jnp.float32),
         None if add is None else add.astype(jnp.float32),
     )
+
+
+def _sharded_call(x, w, mul, add, mesh, ax: str):
+    """Row-sharded kernel launch: each device runs the fused kernel on its
+    local (M/n, K) shard, then the per-shard statistics are psummed into
+    the global column sums. check_vma=False because pallas_call outputs
+    carry no varying-mesh-axes annotation."""
+    from jax.sharding import PartitionSpec as P
+
+    apply_in = mul is not None
+
+    def local(*args):
+        if apply_in:
+            y, s1, s2 = _fused_apply(
+                args[0], args[1],
+                args[2].astype(jnp.float32), args[3].astype(jnp.float32),
+            )
+        else:
+            y, s1, s2 = _fused_plain(args[0], args[1])
+        return y, jax.lax.psum(s1, ax), jax.lax.psum(s2, ax)
+
+    rep = P(*(None,) * 2)
+    in_specs = [P(ax, None), rep] + ([P(None)] * 2 if apply_in else [])
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(ax, None), P(None), P(None)),
+        check_vma=False,
+    )
+    return f(*([x, w, mul, add] if apply_in else [x, w]))
