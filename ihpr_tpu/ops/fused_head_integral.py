@@ -56,6 +56,17 @@ def fused_supported(joint_num: int, depth_dim: int, hw: int, channels: int) -> b
     )
 
 
+def _use_exp2() -> bool:
+    """IHPR_EXP2=1 switches the fused kernel's softmax to base 2 with the
+    log2e factor folded into the final-conv weights — mathematically the
+    identical softmax, minus exp's internal *log2e VPU pass over the
+    volume. Off by default pending the real-chip A/B (tools/exp_probe.py
+    measures the marginal exp/exp2 pass cost)."""
+    import os
+
+    return os.environ.get("IHPR_EXP2", "0") == "1"
+
+
 def _dot_precision(dtype):
     """Kernel matmul precision, pinned from the operand dtype so the
     ambient ``jax_default_matmul_precision`` cannot leak in (Mosaic
@@ -71,7 +82,7 @@ def _dot_precision(dtype):
 
 def _fwd_kernel(
     feat_ref, w_ref, b_ref, seg_ref, vout_ref, m_ref, macc_ref, acc_ref,
-    *, d, w, chunk
+    *, d, w, chunk, base2
 ):
     feat = feat_ref[0]  # (chunk, C) compute dtype
     v = (
@@ -82,15 +93,16 @@ def _fwd_kernel(
             precision=_dot_precision(feat.dtype),
         )
         + b_ref[0:1].astype(jnp.float32)
-    )  # (chunk, J*D) fp32 logits
+    )  # (chunk, J*D) fp32 logits (base-2 domain when base2: W,b pre-scaled)
     _online_stats_tail(
-        v, seg_ref, vout_ref, m_ref, macc_ref, acc_ref, d=d, w=w, chunk=chunk
+        v, seg_ref, vout_ref, m_ref, macc_ref, acc_ref, d=d, w=w, chunk=chunk,
+        exp_fn=jnp.exp2 if base2 else jnp.exp,
     )
 
 
 def _bwd_kernel(
     feat_ref, w_ref, b_ref, rows_ref, dfeat_ref, dw_ref, db_ref,
-    dw_acc, db_acc, *, d, w, chunk
+    dw_acc, db_acc, *, d, w, chunk, base2
 ):
     bi = pl.program_id(0)
     ci = pl.program_id(1)
@@ -103,7 +115,13 @@ def _bwd_kernel(
         jnp.dot(feat, wmat, preferred_element_type=jnp.float32, precision=prec)
         + b_ref[0:1].astype(jnp.float32)
     )
-    dv = _dv_from_rows(v, rows_ref[0], w=w, chunk=chunk)  # (chunk, J*D) fp32
+    # base2: rows carry a ln2 gradient scale, so dv = ln2 * dL/dv and the
+    # contraction against the log2e-scaled W yields dfeat exactly; the
+    # caller rescales dW/db by log2e once outside.
+    dv = _dv_from_rows(
+        v, rows_ref[0], w=w, chunk=chunk,
+        exp_fn=jnp.exp2 if base2 else jnp.exp,
+    )  # (chunk, J*D) fp32
     dvc = dv.astype(wmat.dtype)
 
     # dfeat = dv @ W^T (contract the J*D axis; no transpose materialized)
@@ -135,12 +153,32 @@ def _bwd_kernel(
         db_ref[0:1] = db_acc[0:1]
 
 
-def _fwd_call(feat, wmat, bias, joint_num, depth_dim, h, w):
+_LOG2E = 1.4426950408889634  # log2(e)
+_LN2 = 0.6931471805599453  # 1 / log2(e)
+
+
+def _base2_scale(wmat, bias):
+    """Pre-scale the final-conv parameters by log2(e) so the kernel's
+    matmul emits base-2 logits and the softmax runs on ``exp2`` — softmax
+    is invariant under the base change, so outputs are bitwise-comparable
+    to the exp path up to one fp rounding of the scaled weights, while the
+    VPU skips exp's internal *log2e multiply over the 604M-element volume.
+    Scaled in fp32 so bf16 weights pay a single rounding."""
+    w2 = (wmat.astype(jnp.float32) * _LOG2E).astype(wmat.dtype)
+    b2 = (bias.astype(jnp.float32) * _LOG2E).astype(bias.dtype)
+    return w2, b2
+
+
+def _fwd_call(feat, wmat, bias, joint_num, depth_dim, h, w, base2=False):
     b, hw, c = feat.shape
     jd = joint_num * depth_dim
     chunk = _chunk_rows(hw, jd)
     seg = jnp.asarray(_segment_matrix(joint_num, depth_dim))
-    kernel = functools.partial(_fwd_kernel, d=depth_dim, w=w, chunk=chunk)
+    if base2:
+        wmat, bias = _base2_scale(wmat, bias)
+    kernel = functools.partial(
+        _fwd_kernel, d=depth_dim, w=w, chunk=chunk, base2=base2
+    )
     feat_spec = pl.BlockSpec(
         (1, chunk, c), lambda bi, ci: (bi, ci, 0), memory_space=pltpu.VMEM
     )
@@ -177,12 +215,21 @@ def _fwd_call(feat, wmat, bias, joint_num, depth_dim, h, w):
     return coords, m.reshape(b), s
 
 
-def _bwd_call(feat, wmat, bias, m, s, coords, g, joint_num, depth_dim, h, w):
+def _bwd_call(
+    feat, wmat, bias, m, s, coords, g, joint_num, depth_dim, h, w, base2=False
+):
     b, hw, c = feat.shape
     jd = joint_num * depth_dim
     chunk = _chunk_rows(hw, jd)
-    rows = fold_bwd_rows(m, s, coords, g, joint_num, depth_dim)
-    kernel = functools.partial(_bwd_kernel, d=depth_dim, w=w, chunk=chunk)
+    rows = fold_bwd_rows(
+        m, s, coords, g, joint_num, depth_dim,
+        base2=base2, g_scale=_LN2 if base2 else 1.0,
+    )
+    if base2:
+        wmat, bias = _base2_scale(wmat, bias)
+    kernel = functools.partial(
+        _bwd_kernel, d=depth_dim, w=w, chunk=chunk, base2=base2
+    )
     feat_spec = pl.BlockSpec(
         (1, chunk, c), lambda bi, ci: (bi, ci, 0), memory_space=pltpu.VMEM
     )
@@ -215,23 +262,34 @@ def _bwd_call(feat, wmat, bias, m, s, coords, g, joint_num, depth_dim, h, w):
         ),
         interpret=_interpret(),
     )(feat, wmat, bias.reshape(1, jd), rows)
+    if base2:
+        # Kernel-side dv carries the ln2 gradient scale (see _bwd_kernel);
+        # undo it on the tiny weight grads (dfeat came out exact).
+        dw = dw * _LOG2E
+        db = db * _LOG2E
     return dfeat, dw.astype(wmat.dtype), db.reshape(jd).astype(bias.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _fused(feat, wmat, bias, joint_num, depth_dim, h, w):
-    coords, _, _ = _fwd_call(feat, wmat, bias, joint_num, depth_dim, h, w)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fused(feat, wmat, bias, joint_num, depth_dim, h, w, base2):
+    coords, _, _ = _fwd_call(
+        feat, wmat, bias, joint_num, depth_dim, h, w, base2
+    )
     return coords
 
 
-def _fused_fwd(feat, wmat, bias, joint_num, depth_dim, h, w):
-    coords, m, s = _fwd_call(feat, wmat, bias, joint_num, depth_dim, h, w)
+def _fused_fwd(feat, wmat, bias, joint_num, depth_dim, h, w, base2):
+    coords, m, s = _fwd_call(
+        feat, wmat, bias, joint_num, depth_dim, h, w, base2
+    )
     return coords, (feat, wmat, bias, m, s, coords)
 
 
-def _fused_bwd(joint_num, depth_dim, h, w, res, g):
+def _fused_bwd(joint_num, depth_dim, h, w, base2, res, g):
     feat, wmat, bias, m, s, coords = res
-    return _bwd_call(feat, wmat, bias, m, s, coords, g, joint_num, depth_dim, h, w)
+    return _bwd_call(
+        feat, wmat, bias, m, s, coords, g, joint_num, depth_dim, h, w, base2
+    )
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -256,7 +314,9 @@ def fused_final_conv_integral(
     from ihpr_tpu.ops.integral_pallas import _use_pallas
 
     if _use_pallas() and fused_supported(joint_num, depth_dim, h * w, c):
-        return _fused(feat, kernel, bias, joint_num, depth_dim, h, w)
+        return _fused(
+            feat, kernel, bias, joint_num, depth_dim, h, w, _use_exp2()
+        )
     from ihpr_tpu.ops.integral_pallas import _dispatch
 
     # Same precision rule as the fused kernel so IHPR_PALLAS=off triage

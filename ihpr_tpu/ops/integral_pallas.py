@@ -130,7 +130,10 @@ def _segment_matrix(joint_num: int, depth_dim: int) -> np.ndarray:
     return s
 
 
-def _online_stats_tail(v, seg_ref, vout_ref, m_ref, macc_ref, acc_ref, *, d, w, chunk):
+def _online_stats_tail(
+    v, seg_ref, vout_ref, m_ref, macc_ref, acc_ref, *, d, w, chunk,
+    exp_fn=jnp.exp,
+):
     """Shared per-chunk tail: online softmax statistics + MXU-factored
     moments for one fp32 (chunk, J*D) logits block ``v``. Used by both the
     standalone integral kernel and the fused final-conv+integral kernel.
@@ -140,7 +143,12 @@ def _online_stats_tail(v, seg_ref, vout_ref, m_ref, macc_ref, acc_ref, *, d, w, 
     (rows [1, x(r), y(r)]) and per-joint segment sums ride a
     (4, J*D) @ (J*D, 128) matmul. Scratch: acc (8, 128) VMEM rows
     [s, sx, sy, sz]; macc SMEM running max (shared stabilizer — see module
-    docstring)."""
+    docstring).
+
+    ``exp_fn``: the softmax base. ``jnp.exp2`` callers (the fused head op's
+    base-2 mode) must feed PRE-SCALED logits v' = v*log2(e) — softmax is
+    invariant under that base change, so outputs are identical while the
+    VPU skips exp's internal *log2(e) multiply pass."""
     ci = pl.program_id(1)
     nc = pl.num_programs(1)
     jd = v.shape[1]
@@ -148,10 +156,10 @@ def _online_stats_tail(v, seg_ref, vout_ref, m_ref, macc_ref, acc_ref, *, d, w, 
     m_c = jnp.max(v)
     m_old = jnp.where(ci == 0, _NEG_INF, macc_ref[0])
     m_new = jnp.maximum(m_old, m_c)
-    scale = jnp.exp(m_old - m_new)  # exp(-inf) = 0 on the first chunk
+    scale = exp_fn(m_old - m_new)  # exp(-inf) = 0 on the first chunk
     macc_ref[0] = m_new
 
-    e = jnp.exp(v - m_new)  # (chunk, J*D)
+    e = exp_fn(v - m_new)  # (chunk, J*D)
 
     # W3 rows: [1, x(r), y(r)] for global row r = ci*chunk + col.
     ridx = jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 0)
@@ -199,12 +207,18 @@ def _fwd_kernel(v_ref, seg_ref, vout_ref, m_ref, macc_ref, acc_ref, *, d, w, chu
     )
 
 
-def _dv_from_rows(v, rows, *, w, chunk):
-    """Shared backward elementwise: dv = exp(v - m) * inv_s *
-    (gx*x + gy*y + bias), with the rank-3 spatial term computed as one
-    (chunk, 3) @ (3, J*D) MXU matmul. ``rows``: (5, J*D)."""
+def _dv_from_rows(v, rows, *, w, chunk, exp_fn=jnp.exp):
+    """Shared backward elementwise: dv = p * (gx*x + gy*y + bias) with
+    p = exp(v - row0) — row0 pre-folds the softmax normalizer as
+    m + log(s) (``fold_bwd_rows``), so recovering p costs ONE full-block
+    VPU pass instead of exp + a (chunk, J*D) multiply. The rank-3 spatial
+    term is one (chunk, 3) @ (3, J*D) MXU matmul. ``rows``: (5, J*D);
+    row1 (inv_s) is retained for layout/debug but unused here.
+
+    ``exp_fn=jnp.exp2`` callers must fold base-2 logits/rows (see
+    ``fold_bwd_rows(base2=True)`` and the fused head op)."""
     ci = pl.program_id(1)
-    p = jnp.exp(v - rows[0:1]) * rows[1:2]
+    p = exp_fn(v - rows[0:1])
     cidx = jax.lax.broadcasted_iota(jnp.int32, (chunk, 8), 1)
     r_glob = jax.lax.broadcasted_iota(jnp.int32, (chunk, 8), 0) + ci * chunk
     x_ids = (r_glob % w).astype(jnp.float32)
@@ -286,20 +300,33 @@ def fold_bwd_rows(
     g: jax.Array,
     joint_num: int,
     depth_dim: int,
+    base2: bool = False,
+    g_scale: float = 1.0,
 ) -> jax.Array:
     """Fold all per-joint backward constants into five (B, J*D) lane-rows
-    (XLA ops on tiny tensors): m, 1/s, gx, gy, and
-    bias = gz*(z - cz) - gx*cx - gy*cy. Shared with the fused head op."""
+    (XLA ops on tiny tensors): row0 = m + log(s) (the softmax normalizer
+    folded into the exp argument — p = exp(v - row0) directly, saving one
+    full-block VPU multiply in the kernel; s==0 padded joints get row0=+inf
+    so p underflows to exactly 0), 1/s (layout/debug only), gx, gy, and
+    bias = gz*(z - cz) - gx*cx - gy*cy. Shared with the fused head op.
+
+    ``base2``: m is in base-2 logit domain (fused exp2 mode) — fold log2(s)
+    instead so p = exp2(v' - row0). ``g_scale``: extra factor on gx/gy/bias
+    (the fused exp2 mode scales dv by ln2 so dfeat contracts against the
+    log2e-scaled weights exactly)."""
     b = m.shape[0]
     jd = joint_num * depth_dim
-    g = g.astype(jnp.float32)
+    g = g.astype(jnp.float32) * g_scale
     rep = lambda a: jnp.repeat(a, depth_dim, axis=-1)  # (B, J) -> (B, J*D)
     inv_s = jnp.where(s > 0, 1.0 / s, 0.0)
+    log_s = jnp.where(
+        s > 0, jnp.log2(s) if base2 else jnp.log(s), jnp.inf
+    )
     z_pat = jnp.tile(jnp.arange(depth_dim, dtype=jnp.float32), joint_num)  # (J*D,)
     gx, gy, gz = rep(g[..., 0]), rep(g[..., 1]), rep(g[..., 2])
     cx, cy, cz = rep(coords[..., 0]), rep(coords[..., 1]), rep(coords[..., 2])
     bias = gz * (z_pat[None, :] - cz) - gx * cx - gy * cy
-    m_row = jnp.broadcast_to(m[:, None], (b, jd))
+    m_row = rep(m[:, None] + log_s)  # (B, J) -> (B, J*D)
     return jnp.stack([m_row, rep(inv_s), gx, gy, bias], axis=1)  # (B, 5, J*D)
 
 

@@ -58,6 +58,33 @@ def test_fused_gradients_match_unfused(shapes):
         assert np.linalg.norm(a - b) / denom < 2e-4, (name, np.abs(a - b).max())
 
 
+def test_fused_base2_mode_matches_unfused(shapes, monkeypatch):
+    """IHPR_EXP2=1 (log2e folded into W, exp2 softmax) is the identical
+    softmax in a different base: forward and all three gradients must
+    match the unfused fp32 reference at the same tolerances as the exp
+    path."""
+    monkeypatch.setenv("IHPR_EXP2", "1")
+    feat, kernel, bias, j, d = shapes
+    fused = fused_final_conv_integral(feat, kernel, bias, j, d)
+    ref = _unfused(feat, kernel, bias, j, d)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=5e-4)
+
+    t = jnp.asarray(np.random.RandomState(1).rand(2, j, 3).astype(np.float32) * 8)
+
+    def loss_fused(f, k, bb):
+        return jnp.sum((fused_final_conv_integral(f, k, bb, j, d) - t) ** 2)
+
+    def loss_ref(f, k, bb):
+        return jnp.sum((_unfused(f, k, bb, j, d) - t) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(feat, kernel, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(feat, kernel, bias)
+    for a, b, name in zip(gf, gr, ("dfeat", "dkernel", "dbias")):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = np.linalg.norm(b) + 1e-12
+        assert np.linalg.norm(a - b) / denom < 2e-4, (name, np.abs(a - b).max())
+
+
 def test_fused_fallback_path():
     """Unsupported shapes route through conv + plain dispatch."""
     rng = np.random.RandomState(2)
