@@ -73,6 +73,9 @@ VARIANTS = {
     "lean_b96": dict(bn_mode="lean", _batch=96),
     "lean_b160": dict(bn_mode="lean", _batch=160),
     "lean_b192": dict(bn_mode="lean", _batch=192),
+    # Base-2 softmax in the fused head+integral kernel (IHPR_EXP2 is read
+    # at trace time, so setting it per-variant before the re-trace works).
+    "exp2": dict(_env={"IHPR_EXP2": "1"}),
 }
 
 
@@ -135,6 +138,9 @@ def main():
     results = {}
     for name in args.variants.split(","):
         kw = dict(VARIANTS[name])
+        env = kw.pop("_env", {})
+        for k, v in env.items():
+            os.environ[k] = v
         vbatch_per_dev = kw.pop("_batch", base.optim.batch_size_per_device)
         vbatch = vbatch_per_dev * n_chips
         cfg = base.replace(
@@ -163,6 +169,9 @@ def main():
             print(f"{name:12s} FAILED:", flush=True)
             traceback.print_exc()
             results[name] = None
+        finally:
+            for k in env:
+                os.environ.pop(k, None)
     print(json.dumps(results))
 
 

@@ -146,6 +146,34 @@ def main():
     assert rel < 2e-2 and relg < 3e-2 and bool(jnp.isfinite(yh.astype(jnp.float32)).all()), (rel, relg)
     print(f"2d. fused matmul+BN bf16 stage-3 shape: stats {rel:.2e} grad {relg:.2e} OK")
 
+    # --- 2e. fused head+integral kernel: exp vs exp2 (base-2 softmax) ---
+    # Identical math up to one fp rounding of the log2e-scaled weights;
+    # the real chip additionally proves jnp.exp2 Mosaic lowering inside
+    # the fused kernel. IHPR_EXP2 is read at trace time.
+    from ihpr_tpu.ops.fused_head_integral import fused_final_conv_integral
+
+    fe = jnp.asarray(rng.randn(2, 64, 64, 256).astype(np.float32) * 0.3)
+    ke = jnp.asarray(rng.randn(256, 18 * 64).astype(np.float32) * 0.02)
+    be = jnp.asarray(rng.randn(18 * 64).astype(np.float32) * 0.05)
+
+    def head_loss(f, k, bb):
+        return jnp.sum(fused_final_conv_integral(f, k, bb, 18, 64) ** 2)
+
+    os.environ.pop("IHPR_EXP2", None)
+    c_e = jax.jit(lambda f, k, bb: fused_final_conv_integral(f, k, bb, 18, 64))(fe, ke, be)
+    g_e = jax.jit(jax.grad(head_loss, argnums=(0, 1, 2)))(fe, ke, be)
+    os.environ["IHPR_EXP2"] = "1"
+    c_2 = jax.jit(lambda f, k, bb: fused_final_conv_integral(f, k, bb, 18, 64))(fe, ke, be)
+    g_2 = jax.jit(jax.grad(head_loss, argnums=(0, 1, 2)))(fe, ke, be)
+    os.environ.pop("IHPR_EXP2", None)
+    dc = float(jnp.abs(c_e - c_2).max())
+    dg = max(
+        float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        for a, b in zip(g_e, g_2)
+    )
+    assert dc < 1e-3 and dg < 1e-3 and bool(jnp.isfinite(c_2).all()), (dc, dg)
+    print(f"2e. fused head exp2 vs exp: coords {dc:.2e} grad {dg:.2e} OK")
+
     # --- 3. flagship train step ---
     from ihpr_tpu.config import get_config
     from ihpr_tpu.data import skeletons
