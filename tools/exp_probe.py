@@ -75,15 +75,24 @@ def build(mode, dtype=jnp.float32):
     )
 
     # Chain iterations through a data dependency (axon: block_until_ready
-    # returns early; only a scalar pull is a real barrier).
+    # returns early; only a scalar pull is a real barrier). The input rides
+    # the scan carry and each iteration perturbs ONE element by tok*1e-30
+    # (in-place dynamic-update-slice on the carried buffer) — a dependency
+    # XLA can neither hoist (loop-variant) nor fold away (eps*tok is not
+    # algebraically zero), and it adds no measurable HBM traffic, unlike
+    # a full `x + carry` elementwise add (3x traffic inflation).
     @functools.partial(jax.jit, static_argnums=1)
     def run(x, n_iters):
         def body(carry, _):
-            tok = f(x + carry)
-            return tok[0, 0] * 0.0, None
+            x, tok = carry
+            x = x.at[0, 0, 0].add(tok * 1e-30)
+            tok = f(x)[0, 0]
+            return (x, tok), None
 
-        carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=n_iters)
-        return carry
+        (_, tok), _ = jax.lax.scan(
+            body, (x, jnp.float32(0)), None, length=n_iters
+        )
+        return tok * 1e-30
 
     return run
 
@@ -111,6 +120,13 @@ def main():
             )
         except Exception as e:  # noqa: BLE001 — clean exit keeps the TPU seat
             print(f"{mode:8s} FAILED: {type(e).__name__}: {e}", flush=True)
+    if "read" in results and results["read"] < gb / 1200:
+        # v5e HBM is ~820 GB/s; a "read" under the 1.2 TB/s bound means the
+        # scan chain was optimized away and every number here is a lie.
+        print(
+            f"\nWARNING: read floor {results['read'] * 1e3:.2f} ms implies "
+            f">1.2 TB/s — the dependency chain broke; numbers invalid."
+        )
     if "sum" in results and "expsum" in results:
         d = results["expsum"] - results["sum"]
         print(
