@@ -147,6 +147,45 @@ def test_fused_jpeg_decode_warp(tmp_path):
 
 
 @pytest.mark.skipif(not native.has_jpeg(), reason="libjpeg not compiled in")
+def test_fused_jpeg_roi_decode_exact(tmp_path):
+    """The fused path decodes only the warp's source-row window
+    (scanline-skip + early-abort) — must stay BIT-exact vs decoding the
+    whole frame and warping, for crops anywhere in the frame, rotated
+    and flipped, and produce an all-zero ok patch for mappings entirely
+    outside the frame."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (320, 300, 3)).astype(np.uint8)
+    path = str(tmp_path / "t.jpg")
+    cv2.imwrite(path, img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 92])
+    with open(path, "rb") as f:
+        blob = f.read()
+    decoded = cv2.imread(path)[:, :, ::-1].copy()
+
+    cases = [
+        (150.0, 40.0, 100.0, 100.0, 0.0, 0),     # top edge
+        (150.0, 280.0, 100.0, 100.0, 20.0, 1),   # bottom edge, rot+flip
+        (150.0, 160.0, 120.0, 120.0, -35.0, 0),  # center, rotated
+        (150.0, 160.0, 600.0, 600.0, 10.0, 0),   # box larger than frame
+    ]
+    for cx, cy, bw, bh, rot, flip in cases:
+        inv = gen_trans_np(cx, cy, bw, bh, 64, 64, 1.0, rot, inv=True)
+        fl = np.asarray([flip], np.int32)
+        fused, ok = native.decode_and_warp_batch([blob], inv[None], fl, 64, 64)
+        ref = native.warp_batch([decoded], inv[None], fl, 64, 64)
+        assert ok.all()
+        np.testing.assert_array_equal(fused[0], ref[0]), (cx, cy, rot, flip)
+
+    # mapping entirely above the frame -> zero patch, ok (not corrupt)
+    inv_out = gen_trans_np(150.0, -500.0, 80.0, 80.0, 64, 64, 1.0, 0.0, inv=True)
+    z, okz = native.decode_and_warp_batch([blob], inv_out[None], np.zeros(1, np.int32), 64, 64)
+    assert okz.all() and z.sum() == 0
+    # and entirely below
+    inv_out2 = gen_trans_np(150.0, 900.0, 80.0, 80.0, 64, 64, 1.0, 0.0, inv=True)
+    z2, okz2 = native.decode_and_warp_batch([blob], inv_out2[None], np.zeros(1, np.int32), 64, 64)
+    assert okz2.all() and z2.sum() == 0
+
+
+@pytest.mark.skipif(not native.has_jpeg(), reason="libjpeg not compiled in")
 def test_host_warp_loader_jpeg_path(tmp_path):
     """The loader's fused-jpeg branch produces the same batch as the cv2
     decode branch."""
