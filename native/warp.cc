@@ -54,9 +54,19 @@
 
 namespace {
 
+// Decoded source window: src holds rows [y_off, y_off+*) and columns
+// [x_off, x_off + stride) of the full (sh, sw) image (y_off=x_off=0,
+// stride=sw for a whole image). The caller guarantees every pixel the
+// mapping can SAMPLE lies inside the window; border logic still tests
+// against the full (sh, sw).
+struct SrcWin {
+  const uint8_t* src;
+  int y_off, x_off, stride;
+};
+
 // One output pixel with full border handling (BORDER_CONSTANT=0).
-inline void sample_border(const uint8_t* src, int sh, int sw, int ch,
-                          int y_off, float sx, float sy, uint8_t* out) {
+inline void sample_border(const SrcWin& w, int sh, int sw, int ch,
+                          float sx, float sy, uint8_t* out) {
   const float fx0 = std::floor(sx);
   const float fy0 = std::floor(sy);
   const int x0 = (int)fx0;
@@ -71,21 +81,22 @@ inline void sample_border(const uint8_t* src, int sh, int sw, int ch,
   const bool vx1 = (unsigned)(x0 + 1) < (unsigned)sw;
   const bool vy0 = (unsigned)y0 < (unsigned)sh;
   const bool vy1 = (unsigned)(y0 + 1) < (unsigned)sh;
-  const uint8_t* r0 = src + (size_t)(y0 - y_off) * sw * ch;
-  const uint8_t* r1 = r0 + (size_t)sw * ch;
+  const int xw = x0 - w.x_off;
+  const uint8_t* r0 = w.src + (size_t)(y0 - w.y_off) * w.stride * ch;
+  const uint8_t* r1 = r0 + (size_t)w.stride * ch;
   for (int k = 0; k < ch; ++k) {
     float acc = 0.f;
-    if (vy0 && vx0) acc += w00 * r0[x0 * ch + k];
-    if (vy0 && vx1) acc += w01 * r0[(x0 + 1) * ch + k];
-    if (vy1 && vx0) acc += w10 * r1[x0 * ch + k];
-    if (vy1 && vx1) acc += w11 * r1[(x0 + 1) * ch + k];
+    if (vy0 && vx0) acc += w00 * r0[xw * ch + k];
+    if (vy0 && vx1) acc += w01 * r0[(xw + 1) * ch + k];
+    if (vy1 && vx0) acc += w10 * r1[xw * ch + k];
+    if (vy1 && vx1) acc += w11 * r1[(xw + 1) * ch + k];
     out[k] = (uint8_t)(acc + 0.5f);
   }
 }
 
 // One interior output pixel (2x2 window known in-bounds), any ch.
-inline void sample_interior(const uint8_t* src, int sw, int ch, int y_off,
-                            float sx, float sy, uint8_t* out) {
+inline void sample_interior(const SrcWin& w, int ch, float sx, float sy,
+                            uint8_t* out) {
   const float fx0 = std::floor(sx);
   const float fy0 = std::floor(sy);
   const int x0 = (int)fx0;
@@ -96,8 +107,9 @@ inline void sample_interior(const uint8_t* src, int sw, int ch, int y_off,
   const float w01 = ax * (1 - ay);
   const float w10 = (1 - ax) * ay;
   const float w11 = ax * ay;
-  const uint8_t* p00 = src + ((size_t)(y0 - y_off) * sw + x0) * ch;
-  const uint8_t* p10 = p00 + (size_t)sw * ch;
+  const uint8_t* p00 =
+      w.src + ((size_t)(y0 - w.y_off) * w.stride + (x0 - w.x_off)) * ch;
+  const uint8_t* p10 = p00 + (size_t)w.stride * ch;
   for (int k = 0; k < ch; ++k) {
     out[k] = (uint8_t)(w00 * p00[k] + w01 * p00[ch + k] + w10 * p10[k] +
                        w11 * p10[ch + k] + 0.5f);
@@ -114,10 +126,11 @@ inline bool is_interior(float sx, float sy, int sh, int sw) {
 // 8 interior RGB output pixels per iteration. Weights/accumulation use
 // the same fp32 expressions as sample_interior; the only tolerated
 // divergence is fp contraction order (<= 1 uint8 step on rounding ties).
-inline void warp_row_rgb_avx2(const uint8_t* src, int sw, int y_off,
-                              float sx0, float sy0, float step_x,
-                              float step_y, uint8_t* drow, int xa, int xb) {
-  const int stride = sw * 3;
+inline void warp_row_rgb_avx2(const SrcWin& win, float sx0, float sy0,
+                              float step_x, float step_y, uint8_t* drow,
+                              int xa, int xb) {
+  const uint8_t* src = win.src;
+  const int stride = win.stride * 3;
   const __m256 lane = _mm256_setr_ps(0, 1, 2, 3, 4, 5, 6, 7);
   const __m256 vstepx = _mm256_set1_ps(step_x);
   const __m256 vstepy = _mm256_set1_ps(step_y);
@@ -144,9 +157,10 @@ inline void warp_row_rgb_avx2(const uint8_t* src, int sw, int y_off,
     const __m256 w01 = _mm256_mul_ps(ax, by);
     const __m256 w10 = _mm256_mul_ps(bx, ay);
     const __m256 w11 = _mm256_mul_ps(ax, ay);
-    const __m256i x0 = _mm256_cvttps_epi32(fx0);
+    const __m256i x0 = _mm256_sub_epi32(_mm256_cvttps_epi32(fx0),
+                                        _mm256_set1_epi32(win.x_off));
     const __m256i y0 = _mm256_sub_epi32(_mm256_cvttps_epi32(fy0),
-                                        _mm256_set1_epi32(y_off));
+                                        _mm256_set1_epi32(win.y_off));
     // byte offset of p00; p01 = +3, row1 = +stride
     const __m256i off0 = _mm256_add_epi32(_mm256_mullo_epi32(y0, vstride),
                                           _mm256_mullo_epi32(x0, three));
@@ -190,19 +204,14 @@ inline void warp_row_rgb_avx2(const uint8_t* src, int sw, int y_off,
     }
   }
   for (; x < xb; ++x) {
-    sample_interior(src, sw, 3, y_off,
-                    sx0 + step_x * x, sy0 + step_y * x,
+    sample_interior(win, 3, sx0 + step_x * x, sy0 + step_y * x,
                     drow + (size_t)x * 3);
   }
 }
 #endif  // __AVX2__
 
-// Warp into dst given that src holds source rows [y_off, y_off + nrows)
-// of an (sh, sw, ch) image (y_off=0, nrows=sh for a full image). The
-// caller guarantees every row the mapping can SAMPLE (in-bounds rows of
-// the 2x2 windows) lies inside the window; border logic still tests
-// against the full (sh, sw).
-void warp_window_u8(const uint8_t* src, int sh, int sw, int ch, int y_off,
+// Warp into dst from a SrcWin of an (sh, sw, ch) image (see SrcWin).
+void warp_window_u8(const SrcWin& win, int sh, int sw, int ch,
                     const float* inv, int flip, uint8_t* dst, int oh,
                     int ow) {
   const float step_x = flip ? -inv[0] : inv[0];
@@ -242,22 +251,21 @@ void warp_window_u8(const uint8_t* src, int sh, int sw, int ch, int y_off,
       --xb;
 
     for (int x = 0; x < xa; ++x)
-      sample_border(src, sh, sw, ch, y_off, sx0 + step_x * x,
-                    sy0 + step_y * x, drow + (size_t)x * ch);
+      sample_border(win, sh, sw, ch, sx0 + step_x * x, sy0 + step_y * x,
+                    drow + (size_t)x * ch);
 #if defined(__AVX2__)
     if (ch == 3) {
-      warp_row_rgb_avx2(src, sw, y_off, sx0, sy0, step_x, step_y, drow, xa,
-                        xb);
+      warp_row_rgb_avx2(win, sx0, sy0, step_x, step_y, drow, xa, xb);
     } else
 #endif
     {
       for (int x = xa; x < xb; ++x)
-        sample_interior(src, sw, ch, y_off, sx0 + step_x * x,
-                        sy0 + step_y * x, drow + (size_t)x * ch);
+        sample_interior(win, ch, sx0 + step_x * x, sy0 + step_y * x,
+                        drow + (size_t)x * ch);
     }
     for (int x = xb; x < ow; ++x)
-      sample_border(src, sh, sw, ch, y_off, sx0 + step_x * x,
-                    sy0 + step_y * x, drow + (size_t)x * ch);
+      sample_border(win, sh, sw, ch, sx0 + step_x * x, sy0 + step_y * x,
+                    drow + (size_t)x * ch);
   }
 }
 
@@ -286,7 +294,7 @@ void invert_affine(const float* m, float* out) {
 void warp_affine_u8(const uint8_t* src, int sh, int sw, int ch,
                     const float* inv, int flip, uint8_t* dst, int oh,
                     int ow) {
-  warp_window_u8(src, sh, sw, ch, 0, inv, flip, dst, oh, ow);
+  warp_window_u8(SrcWin{src, 0, 0, sw}, sh, sw, ch, inv, flip, dst, oh, ow);
 }
 
 // Batched warp over images of VARYING sizes (pointers + per-image dims),
@@ -327,16 +335,23 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jmp, 1);
 }
 
-// Decode source rows [*y_off, *y_off + *nrows) of an RGB JPEG into out,
-// where the requested window is [want0, want1] (inclusive; the whole
-// image when want1 < 0). Rows above are skipped without IDCT/upsampling
-// (jpeg_skip_scanlines, 8-row context margin keeps the wanted rows
-// bit-exact) and decoding aborts right after the last wanted row —
-// the reference decodes full frames only to have most rows never
-// sampled by the crop warp. Returns 0 on failure.
+// Decode only the sampled window of an RGB JPEG into out. The caller
+// passes the warp's wanted row range [wy0, wy1] and column range
+// [wx0, wx1] (inclusive, unclamped; whole image when wy1 < 0), plus
+// flip: flipped mappings sample the x-mirror of the column range. Rows
+// above the window are skipped without IDCT/upsampling
+// (jpeg_skip_scanlines), columns outside it are dropped per-iMCU
+// (jpeg_crop_scanline), and decoding aborts right after the last wanted
+// row — the reference decodes full frames only to have most pixels never
+// sampled by the crop warp. An 8-pixel margin keeps the wanted pixels
+// bit-exact against fancy-upsampling context at the window edges.
+// On success fills the window geometry (win->src remains unset) and
+// returns 1; 0 on failure.
 int decode_jpeg_rgb_window(const uint8_t* data, size_t len,
                            std::vector<uint8_t>& out, int* h, int* w,
-                           int want0, int want1, int* y_off, int* nrows) {
+                           int wy0, int wy1, int wx0, int wx1, int flip,
+                           int* y_off, int* x_off, int* stride,
+                           int* nrows) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -353,18 +368,36 @@ int decode_jpeg_rgb_window(const uint8_t* data, size_t len,
   *h = (int)cinfo.output_height;
   *w = (int)cinfo.output_width;
   int r0 = 0, r1 = *h - 1;
-  if (want1 >= 0) {
-    r0 = std::max(0, std::min(want0, *h - 1));
-    r1 = std::max(r0, std::min(want1, *h - 1));
+  *x_off = 0;
+  *stride = *w;
+  if (wy1 >= 0) {
+    r0 = std::max(0, std::min(wy0, *h - 1));
+    r1 = std::max(r0, std::min(wy1, *h - 1));
+    if (flip) {
+      // sampled sx = (sw-1) - computed sx: mirror the column range
+      const int m0 = *w - 1 - wx1, m1 = *w - 1 - wx0;
+      wx0 = m0;
+      wx1 = m1;
+    }
+    int c0 = std::max(0, std::min(wx0 - 8, *w - 1));
+    int c1 = std::max(c0, std::min(wx1 + 8, *w - 1));
+    JDIMENSION xoff = (JDIMENSION)c0;
+    JDIMENSION xw = (JDIMENSION)(c1 - c0 + 1);
+    if ((int)xw < *w) {
+      jpeg_crop_scanline(&cinfo, &xoff, &xw);  // widens to iMCU bounds
+      *x_off = (int)xoff;
+      *stride = (int)cinfo.output_width;
+    }
   }
   int skipped = 0;
   const int skip_target = std::max(0, r0 - 8);
   if (skip_target > 0)
     skipped = (int)jpeg_skip_scanlines(&cinfo, (JDIMENSION)skip_target);
-  out.resize((size_t)(r1 + 1 - skipped) * (*w) * 3);
+  out.resize((size_t)(r1 + 1 - skipped) * (*stride) * 3);
   while ((int)cinfo.output_scanline <= r1) {
-    JSAMPROW row = out.data() +
-                   (size_t)((int)cinfo.output_scanline - skipped) * (*w) * 3;
+    JSAMPROW row =
+        out.data() +
+        (size_t)((int)cinfo.output_scanline - skipped) * (*stride) * 3;
     if (jpeg_read_scanlines(&cinfo, &row, 1) != 1) break;
   }
   *y_off = skipped;
@@ -399,31 +432,39 @@ void decode_and_warp_batch(const uint8_t* const* jpegs, const int64_t* lens,
 #pragma omp for schedule(dynamic)
 #endif
     for (int b = 0; b < batch; ++b) {
-      // The row window needs (h, w) only for clamping, which the decoder
-      // applies itself — compute the unclamped wanted range up front.
+      // Wanted source ranges need (h, w) only for clamping/mirroring,
+      // which the decoder applies itself — compute the unclamped
+      // pre-mirror extremes over the output-rectangle corners up front.
       const float* inv = invs + 6 * b;
-      float mn = 1e30f, mx = -1e30f;
+      float ymn = 1e30f, ymx = -1e30f, xmn = 1e30f, xmx = -1e30f;
       for (int cy = 0; cy < 2; ++cy)
         for (int cx = 0; cx < 2; ++cx) {
-          const float sy = inv[3] * (cx ? ow - 1 : 0) +
-                           inv[4] * (cy ? oh - 1 : 0) + inv[5];
-          mn = std::min(mn, sy);
-          mx = std::max(mx, sy);
+          const float fx = (float)(cx ? ow - 1 : 0);
+          const float fy = (float)(cy ? oh - 1 : 0);
+          const float sy = inv[3] * fx + inv[4] * fy + inv[5];
+          const float sx = inv[0] * fx + inv[1] * fy + inv[2];
+          ymn = std::min(ymn, sy);
+          ymx = std::max(ymx, sy);
+          xmn = std::min(xmn, sx);
+          xmx = std::max(xmx, sx);
         }
-      const int want0 = (int)std::floor(mn) - 2;
-      const int want1 = (int)std::floor(mx) + 3;
-      int h = 0, w = 0, y_off = 0, nrows = 0;
+      const int wy0 = (int)std::floor(ymn) - 2;
+      const int wy1 = (int)std::floor(ymx) + 3;
+      const int wx0 = (int)std::floor(xmn) - 2;
+      const int wx1 = (int)std::floor(xmx) + 3;
+      int h = 0, w = 0, y_off = 0, x_off = 0, stride = 0, nrows = 0;
       uint8_t* d = dst + (size_t)b * oh * ow * 3;
-      if (want1 < 0 ||
+      if (wy1 < 0 ||
           !decode_jpeg_rgb_window(jpegs[b], (size_t)lens[b], scratch, &h,
-                                  &w, want0, want1, &y_off, &nrows)) {
+                                  &w, wy0, wy1, wx0, wx1, flips[b], &y_off,
+                                  &x_off, &stride, &nrows)) {
         // fully out-of-frame mapping (all-border patch) or corrupt file
         memset(d, 0, (size_t)oh * ow * 3);
-        ok[b] = want1 < 0 ? 1 : 0;
+        ok[b] = wy1 < 0 ? 1 : 0;
         continue;
       }
-      warp_window_u8(scratch.data(), h, w, 3, y_off, inv, flips[b], d, oh,
-                     ow);
+      warp_window_u8(SrcWin{scratch.data(), y_off, x_off, stride}, h, w, 3,
+                     inv, flips[b], d, oh, ow);
       ok[b] = 1;
     }
   }
