@@ -25,13 +25,23 @@ def _load() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO):
+    src = os.path.join(_ROOT, "native", "warp.cc")
+    stale = (
+        not os.path.exists(_SO)
+        or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_SO)
+        )
+    )
+    if stale:
+        # (Re)build — a stale .so would silently shadow newer warp.cc.
         build = os.path.join(_ROOT, "native", "build.sh")
         if os.path.exists(build):
             try:
                 subprocess.run(["sh", build], check=True, capture_output=True)
             except Exception:
-                return None
+                if not os.path.exists(_SO):
+                    return None
     if not os.path.exists(_SO):
         return None
     lib = ctypes.CDLL(_SO)
