@@ -46,7 +46,16 @@ class PoseServer:
         batch_stats,
         max_batch: int = 16,
         flip_test: Optional[bool] = None,
+        mesh=None,
     ):
+        """``mesh``: a multi-device ``jax.sharding.Mesh`` enables SPATIAL
+        partitioning — the patch's image-row axis is sharded over the
+        mesh's first axis and XLA inserts the conv halo exchanges, so a
+        single small request uses every chip (latency scaling, where data
+        parallelism can only scale throughput). The spatial path computes
+        the soft-argmax with the plain-XLA composition (GSPMD has no
+        pallas partitioning rule); coordinates are identical (tested on
+        the virtual CPU mesh). in_h must be divisible by the mesh size."""
         self.cfg = cfg
         from ihpr_tpu.config import apply_matmul_precision
 
@@ -58,24 +67,50 @@ class PoseServer:
         self.max_batch = max_batch
         self.flip_test = cfg.eval.flip_test if flip_test is None else flip_test
         self.flip_perm = self.skeleton.flip_permutation()
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         # params travel as jit ARGUMENTS: closing over them would bake ~100MB
         # of weights into the executable as constants and silently ignore
         # later weight updates.
-        self._jitted = jax.jit(self._forward)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert cfg.data.input_shape[0] % self.mesh.size == 0, (
+                cfg.data.input_shape,
+                self.mesh.size,
+            )
+            rep = NamedSharding(self.mesh, P())
+            self._in_shard = NamedSharding(
+                self.mesh, P(None, self.mesh.axis_names[0], None, None)
+            )
+            self.params = jax.device_put(self.params, rep)
+            self.batch_stats = jax.device_put(self.batch_stats, rep)
+            self._jitted = jax.jit(self._forward, out_shardings=rep)
+        else:
+            self._jitted = jax.jit(self._forward)
 
     def _fn(self, patch_u8, color_scale):
+        if self.mesh is not None:
+            patch_u8 = jax.device_put(jnp.asarray(patch_u8), self._in_shard)
         return self._jitted(self.params, self.batch_stats, patch_u8, color_scale)
 
     def _forward(self, params, batch_stats, patch_u8, color_scale):
         image = finalize_patch(patch_u8, color_scale, self.cfg.data)
 
         def infer(img):
-            return self.model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                img,
-                train=False,
-                method=self.model.coords,
-            )
+            vars_ = {"params": params, "batch_stats": batch_stats}
+            if self.mesh is None:
+                return self.model.apply(
+                    vars_, img, train=False, method=self.model.coords
+                )
+            # Spatial mode: heatmap forward (every op partitionable) +
+            # plain-XLA soft-argmax — pallas_call has no GSPMD rule.
+            from ihpr_tpu.ops import soft_argmax_3d
+
+            hm = self.model.apply(vars_, img, train=False)
+            b2, hh, ww, _ = hm.shape
+            j, d = self.skeleton.joint_num, self.model.depth_dim
+            vol = hm.reshape(b2, hh, ww, j, d).transpose(0, 3, 4, 1, 2)
+            return soft_argmax_3d(vol)
 
         if not self.flip_test:
             return infer(image)

@@ -88,6 +88,25 @@ def test_server_flip_one_dispatch_matches_two(tiny_server):
     np.testing.assert_allclose(fused, (c + cf) * 0.5, atol=1e-4)
 
 
+def test_server_spatial_mesh_matches_single_device(tiny_server):
+    """PoseServer(mesh=...) shards the patch's image-row axis across the
+    mesh (GSPMD inserts the conv halo exchanges) — coordinates must match
+    the single-device server. Latency-scaling serving mode: one small
+    request uses every chip."""
+    from jax.sharding import Mesh
+
+    cfg = tiny_server.cfg
+    mesh = Mesh(np.array(jax.devices()), ("sp",))
+    srv_sp = PoseServer(
+        cfg, tiny_server.params, tiny_server.batch_stats, max_batch=4,
+        mesh=mesh,
+    )
+    patches = np.random.RandomState(5).randint(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    ref = tiny_server.predict_patches(patches)
+    out = srv_sp.predict_patches(patches)
+    np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
 def test_vis_keypoints_and_grid(tmp_path):
     skel = skeletons.H36M
     img = np.zeros((64, 64, 3), np.uint8)
