@@ -67,6 +67,18 @@ def _use_exp2() -> bool:
     return os.environ.get("IHPR_EXP2", "0") == "1"
 
 
+def _use_bexp() -> bool:
+    """IHPR_BEXP=1: recompute the backward's probabilities with a bf16
+    exp (fp32 stabilized argument, bf16 transcendental, fp32 downstream).
+    MEASUREMENT MODE — perturbs gradients by ~2^-9 relative (forward and
+    the parity contract are untouched), so adoption requires both the
+    exp_probe showing a 2x bf16 VPU exp rate AND a from-scratch accuracy
+    A/B like the lean_sg gate. Composes with IHPR_EXP2."""
+    import os
+
+    return os.environ.get("IHPR_BEXP", "0") == "1"
+
+
 def _dot_precision(dtype):
     """Kernel matmul precision, pinned from the operand dtype so the
     ambient ``jax_default_matmul_precision`` cannot leak in (Mosaic
@@ -102,7 +114,7 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     feat_ref, w_ref, b_ref, rows_ref, dfeat_ref, dw_ref, db_ref,
-    dw_acc, db_acc, *, d, w, chunk, base2
+    dw_acc, db_acc, *, d, w, chunk, base2, bexp=False
 ):
     bi = pl.program_id(0)
     ci = pl.program_id(1)
@@ -118,9 +130,12 @@ def _bwd_kernel(
     # base2: rows carry a ln2 gradient scale, so dv = ln2 * dL/dv and the
     # contraction against the log2e-scaled W yields dfeat exactly; the
     # caller rescales dW/db by log2e once outside.
+    exp_fn = jnp.exp2 if base2 else jnp.exp
+    if bexp:  # bf16 transcendental, fp32 argument/downstream (see _use_bexp)
+        base_fn = exp_fn
+        exp_fn = lambda a: base_fn(a.astype(jnp.bfloat16)).astype(jnp.float32)
     dv = _dv_from_rows(
-        v, rows_ref[0], w=w, chunk=chunk,
-        exp_fn=jnp.exp2 if base2 else jnp.exp,
+        v, rows_ref[0], w=w, chunk=chunk, exp_fn=exp_fn
     )  # (chunk, J*D) fp32
     dvc = dv.astype(wmat.dtype)
 
@@ -228,7 +243,8 @@ def _bwd_call(
     if base2:
         wmat, bias = _base2_scale(wmat, bias)
     kernel = functools.partial(
-        _bwd_kernel, d=depth_dim, w=w, chunk=chunk, base2=base2
+        _bwd_kernel, d=depth_dim, w=w, chunk=chunk, base2=base2,
+        bexp=_use_bexp(),  # bwd-only measurement mode, read at trace time
     )
     feat_spec = pl.BlockSpec(
         (1, chunk, c), lambda bi, ci: (bi, ci, 0), memory_space=pltpu.VMEM

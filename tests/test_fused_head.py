@@ -85,6 +85,35 @@ def test_fused_base2_mode_matches_unfused(shapes, monkeypatch):
         assert np.linalg.norm(a - b) / denom < 2e-4, (name, np.abs(a - b).max())
 
 
+def test_fused_bexp_mode_close_to_reference(shapes, monkeypatch):
+    """IHPR_BEXP=1 (bf16 backward exp, measurement mode) perturbs only
+    the gradients: forward must stay exact; gradient noise is O(2^-9)
+    relative on p, measuring ~2% global on dfeat at this shape — the test
+    pins that bound (adoption is additionally gated on a from-scratch
+    accuracy A/B, see _use_bexp)."""
+    monkeypatch.setenv("IHPR_BEXP", "1")
+    feat, kernel, bias, j, d = shapes
+    fused = fused_final_conv_integral(feat, kernel, bias, j, d)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(_unfused(feat, kernel, bias, j, d)),
+        atol=5e-4,
+    )
+    t = jnp.asarray(np.random.RandomState(1).rand(2, j, 3).astype(np.float32) * 8)
+
+    def loss_fused(f, k, bb):
+        return jnp.sum((fused_final_conv_integral(f, k, bb, j, d) - t) ** 2)
+
+    def loss_ref(f, k, bb):
+        return jnp.sum((_unfused(f, k, bb, j, d) - t) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(feat, kernel, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(feat, kernel, bias)
+    for a, b, name in zip(gf, gr, ("dfeat", "dkernel", "dbias")):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+        assert rel < 5e-2, (name, rel)
+
+
 def test_fused_fallback_path():
     """Unsupported shapes route through conv + plain dispatch."""
     rng = np.random.RandomState(2)

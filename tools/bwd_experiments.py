@@ -76,6 +76,10 @@ VARIANTS = {
     # Base-2 softmax in the fused head+integral kernel (IHPR_EXP2 is read
     # at trace time, so setting it per-variant before the re-trace works).
     "exp2": dict(_env={"IHPR_EXP2": "1"}),
+    # bf16 backward exp (gradient-perturbing measurement mode; adoption
+    # additionally needs a from-scratch accuracy A/B).
+    "bexp": dict(_env={"IHPR_BEXP": "1"}),
+    "exp2_bexp": dict(_env={"IHPR_EXP2": "1", "IHPR_BEXP": "1"}),
 }
 
 
