@@ -175,6 +175,23 @@ def test_fused_jpeg_roi_decode_exact(tmp_path):
         assert ok.all()
         np.testing.assert_array_equal(fused[0], ref[0]), (cx, cy, rot, flip)
 
+    # progressive JPEG: skip/crop take a different libjpeg path (whole-
+    # image coefficient buffering) — must stay exact there too
+    import io
+
+    from PIL import Image
+
+    pbuf = io.BytesIO()
+    Image.fromarray(img).save(pbuf, "JPEG", quality=92, progressive=True)
+    pblob = pbuf.getvalue()
+    pdecoded = np.asarray(Image.open(io.BytesIO(pblob))).copy()
+    inv = gen_trans_np(150.0, 160.0, 110.0, 110.0, 64, 64, 1.0, -25.0, inv=True)
+    fl = np.asarray([1], np.int32)
+    fused, okp = native.decode_and_warp_batch([pblob], inv[None], fl, 64, 64)
+    ref = native.warp_batch([pdecoded], inv[None], fl, 64, 64)
+    assert okp.all()
+    np.testing.assert_array_equal(fused[0], ref[0])
+
     # mapping entirely above the frame -> zero patch, ok (not corrupt)
     inv_out = gen_trans_np(150.0, -500.0, 80.0, 80.0, 64, 64, 1.0, 0.0, inv=True)
     z, okz = native.decode_and_warp_batch([blob], inv_out[None], np.zeros(1, np.int32), 64, 64)
