@@ -89,8 +89,15 @@ def decode_and_warp_batch(
     out_w: int,
 ):
     """Fused JPEG decode + warp (libjpeg + OpenMP): B jpeg byte strings ->
-    ((B, out_h, out_w, 3) uint8 RGB patches, (B,) ok flags). Full-resolution
-    images never enter Python."""
+    ((B, out_h, out_w, 3) uint8 RGB patches, (B,) ok flags). Only the
+    source window the warp can sample is inverse-DCTed (bit-exact ROI
+    decode). Full-resolution images never enter Python.
+
+    Caveats vs the cv2 fallback path: (1) EXIF orientation tags are
+    ignored (cv2.imread auto-rotates; H36M/MPII/COCO distributions ship
+    orientation-free JPEGs — strip EXIF or pre-rotate if serving
+    hand-shot data through this path); (2) CMYK JPEGs fail decode
+    (ok=0) and the loader falls back to cv2 for that image."""
     lib = _load()
     assert lib is not None and lib.has_jpeg()
     batch = len(jpeg_blobs)
