@@ -39,8 +39,30 @@ def _load() -> Optional[ctypes.CDLL]:
         if os.path.exists(build):
             try:
                 subprocess.run(["sh", build], check=True, capture_output=True)
-            except Exception:
+            except subprocess.CalledProcessError as e:
+                # NEVER swallow a failed rebuild silently: loading the old
+                # .so here would mean every test/bench exercises stale code
+                # while warp.cc says otherwise.
+                import warnings
+
+                stderr = (e.stderr or b"").decode(errors="replace")[-2000:]
+                if os.path.exists(_SO):
+                    warnings.warn(
+                        "native/warp.cc changed but the rebuild FAILED; "
+                        "loading the STALE libihprwarp.so. Compiler said:\n"
+                        + stderr
+                    )
+                else:
+                    warnings.warn(
+                        "native warp library build failed; falling back to "
+                        "the cv2/pure-JAX path. Compiler said:\n" + stderr
+                    )
+                    return None
+            except Exception as e:  # toolchain missing entirely
                 if not os.path.exists(_SO):
+                    import warnings
+
+                    warnings.warn(f"native warp build unavailable: {e!r}")
                     return None
     if not os.path.exists(_SO):
         return None

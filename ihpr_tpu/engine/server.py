@@ -135,6 +135,10 @@ class PoseServer:
         chain it into a reduction) to materialize."""
         b = len(patches_u8)
         assert b <= self.max_batch, (b, self.max_batch)
+        if b == 0:
+            # np.asarray([]) is rank-1; padding it would dispatch a
+            # malformed input into the fixed-shape program.
+            return jnp.zeros((0, self.skeleton.joint_num, 3), jnp.float32)
         pad = self.max_batch - b
         chunk = np.asarray(patches_u8)
         if pad:
@@ -145,17 +149,14 @@ class PoseServer:
 
     def predict_patches(self, patches_u8: np.ndarray) -> np.ndarray:
         """(N, in_h, in_w, 3) uint8 pre-cropped patches -> (N, J, 3) voxel
-        coords. N may be any size; processed in fixed max_batch chunks."""
+        coords. N may be any size; processed in fixed max_batch chunks
+        (each chunk delegates to ``submit_patches``; the np.asarray pull
+        at the end of the loop body synchronizes per chunk)."""
         n = len(patches_u8)
         out = np.empty((n, self.skeleton.joint_num, 3), np.float32)
-        ones = np.ones((self.max_batch, 3), np.float32)
         for s in range(0, n, self.max_batch):
             chunk = patches_u8[s : s + self.max_batch]
-            pad = self.max_batch - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-            coords = self._fn(jnp.asarray(chunk), jnp.asarray(ones))
-            out[s : s + self.max_batch - pad] = np.asarray(coords)[: len(chunk) - pad]
+            out[s : s + len(chunk)] = np.asarray(self.submit_patches(chunk))
         return out
 
     def predict(

@@ -50,6 +50,19 @@
 
 #if defined(IHPR_HAVE_JPEG)
 #include <jpeglib.h>
+// jpeg_skip_scanlines / jpeg_crop_scanline are libjpeg-turbo (>= 1.5)
+// extensions; classic IJG libjpeg builds fall back to decode-and-discard
+// (still correct, just no ROI speedup) so the library keeps building —
+// and the AVX2 warp path keeps working — on non-turbo hosts.
+// -DIHPR_FORCE_NO_JPEG_ROI exercises the IJG fallback on turbo hosts
+// (tests/test_native.py compiles a probe .so with it).
+#if defined(IHPR_FORCE_NO_JPEG_ROI)
+#define IHPR_JPEG_ROI 0
+#elif defined(LIBJPEG_TURBO_VERSION_NUMBER) && LIBJPEG_TURBO_VERSION_NUMBER >= 1005000
+#define IHPR_JPEG_ROI 1
+#else
+#define IHPR_JPEG_ROI 0
+#endif
 #endif
 
 namespace {
@@ -381,6 +394,7 @@ int decode_jpeg_rgb_window(const uint8_t* data, size_t len,
     }
     int c0 = std::max(0, std::min(wx0 - 8, *w - 1));
     int c1 = std::max(c0, std::min(wx1 + 8, *w - 1));
+#if IHPR_JPEG_ROI
     JDIMENSION xoff = (JDIMENSION)c0;
     JDIMENSION xw = (JDIMENSION)(c1 - c0 + 1);
     if ((int)xw < *w) {
@@ -388,11 +402,27 @@ int decode_jpeg_rgb_window(const uint8_t* data, size_t len,
       *x_off = (int)xoff;
       *stride = (int)cinfo.output_width;
     }
+#else
+    (void)c0;
+    (void)c1;
+#endif
   }
   int skipped = 0;
   const int skip_target = std::max(0, r0 - 8);
+#if IHPR_JPEG_ROI
   if (skip_target > 0)
     skipped = (int)jpeg_skip_scanlines(&cinfo, (JDIMENSION)skip_target);
+#else
+  if (skip_target > 0) {
+    // IJG fallback: decode-and-discard the rows above the window.
+    std::vector<uint8_t> junk((size_t)(*stride) * 3);
+    while ((int)cinfo.output_scanline < skip_target) {
+      JSAMPROW row = junk.data();
+      if (jpeg_read_scanlines(&cinfo, &row, 1) != 1) break;
+    }
+    skipped = (int)cinfo.output_scanline;
+  }
+#endif
   out.resize((size_t)(r1 + 1 - skipped) * (*stride) * 3);
   while ((int)cinfo.output_scanline <= r1) {
     JSAMPROW row =

@@ -173,7 +173,9 @@ def test_fused_jpeg_roi_decode_exact(tmp_path):
         fused, ok = native.decode_and_warp_batch([blob], inv[None], fl, 64, 64)
         ref = native.warp_batch([decoded], inv[None], fl, 64, 64)
         assert ok.all()
-        np.testing.assert_array_equal(fused[0], ref[0]), (cx, cy, rot, flip)
+        np.testing.assert_array_equal(
+            fused[0], ref[0], err_msg=f"case cx={cx} cy={cy} rot={rot} flip={flip}"
+        )
 
     # progressive JPEG: skip/crop take a different libjpeg path (whole-
     # image coefficient buffering) — must stay exact there too
@@ -200,6 +202,61 @@ def test_fused_jpeg_roi_decode_exact(tmp_path):
     inv_out2 = gen_trans_np(150.0, 900.0, 80.0, 80.0, 64, 64, 1.0, 0.0, inv=True)
     z2, okz2 = native.decode_and_warp_batch([blob], inv_out2[None], np.zeros(1, np.int32), 64, 64)
     assert okz2.all() and z2.sum() == 0
+
+
+@pytest.mark.skipif(not native.has_jpeg(), reason="libjpeg not compiled in")
+def test_ijg_fallback_builds_and_matches(tmp_path):
+    """warp.cc must keep building on classic IJG libjpeg (no
+    jpeg_skip_scanlines / jpeg_crop_scanline). Compile a probe .so with
+    -DIHPR_FORCE_NO_JPEG_ROI and check its decode+warp equals the ROI
+    build bit-for-bit."""
+    import ctypes
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(root, "native", "warp.cc")
+    so = str(tmp_path / "libihprwarp_noroi.so")
+    # Same flags as build.sh: without -march=native the probe would take
+    # the scalar interior path, which rounds ±1 LSB differently from the
+    # AVX2 gather kernel and breaks the bit-equality check below.
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+         "-DIHPR_HAVE_JPEG", "-DIHPR_FORCE_NO_JPEG_ROI", "-o", so, src,
+         "-ljpeg"],
+        check=True, capture_output=True,
+    )
+    lib = ctypes.CDLL(so)
+    assert lib.has_jpeg()
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 255, (240, 220, 3)).astype(np.uint8)
+    path = str(tmp_path / "t.jpg")
+    cv2.imwrite(path, img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 90])
+    with open(path, "rb") as f:
+        blob = f.read()
+    inv = gen_trans_np(110.0, 60.0, 90.0, 90.0, 64, 64, 1.0, 20.0, inv=True)
+    fl = np.asarray([1], np.int32)
+    roi_out, ok = native.decode_and_warp_batch([blob], inv[None], fl, 64, 64)
+    assert ok.all()
+
+    buf = np.frombuffer(blob, np.uint8)
+    ptrs = (ctypes.c_void_p * 1)(buf.ctypes.data_as(ctypes.c_void_p).value)
+    lens = np.asarray([len(blob)], np.int64)
+    invs = np.ascontiguousarray(inv[None], np.float32).reshape(1, 6)
+    out = np.empty((1, 64, 64, 3), np.uint8)
+    okf = np.empty(1, np.int32)
+    lib.decode_and_warp_batch(
+        ptrs,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        invs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        fl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        okf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        1, 64, 64,
+    )
+    assert okf.all()
+    np.testing.assert_array_equal(out[0], roi_out[0])
 
 
 @pytest.mark.skipif(not native.has_jpeg(), reason="libjpeg not compiled in")

@@ -47,6 +47,9 @@ def test_server_submit_patches_matches_sync(tiny_server):
     dev = tiny_server.submit_patches(patches)  # no host sync until asarray
     np.testing.assert_allclose(np.asarray(dev), sync, atol=1e-5)
     assert dev.shape == (3, 18, 3)
+    # empty flush: no dispatch, well-formed (0, J, 3) result on both paths
+    assert tiny_server.submit_patches([]).shape == (0, 18, 3)
+    assert tiny_server.predict_patches(np.zeros((0, 64, 64, 3), np.uint8)).shape == (0, 18, 3)
 
 
 def test_server_full_path_original_images(tiny_server):

@@ -109,7 +109,11 @@ def main():
     for mode in ["read", "sum", "maxsum", "expsum", "exp2sum", "bexpsum"]:
         try:
             run = build(mode)
-            float(run(x, 2))  # compile + warm
+            # Warm with the SAME static n_iters as the timed call: the scan
+            # length is baked into the jaxpr, so run(x, 2) would compile a
+            # DIFFERENT program and the timed call would pay its own 30-400 s
+            # remote compile inside the perf_counter window.
+            float(run(x, args.iters))  # compile + warm the timed program
             t0 = time.perf_counter()
             float(run(x, args.iters))
             dt = (time.perf_counter() - t0) / args.iters

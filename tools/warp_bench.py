@@ -116,7 +116,9 @@ def main():
             for i, b in enumerate(blobs):
                 img = cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_COLOR)
                 o[i] = cv2.warpAffine(
-                    img[:, :, ::-1].copy() if flips[i] else img,
+                    # width-axis mirror (the reference's flip); costed via
+                    # .copy() like the reference's contiguous slice
+                    img[:, ::-1].copy() if flips[i] else img,
                     _fwd_from_inv(invs[i]),
                     (OW, OH),
                     flags=cv2.INTER_LINEAR,
