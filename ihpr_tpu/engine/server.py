@@ -159,17 +159,10 @@ class PoseServer:
             out[s : s + len(chunk)] = np.asarray(self.submit_patches(chunk))
         return out
 
-    def predict(
-        self,
-        images: Sequence[np.ndarray],
-        bboxes: np.ndarray,
-        root_z: Optional[np.ndarray] = None,
-        f: Optional[np.ndarray] = None,
-        c: Optional[np.ndarray] = None,
-    ) -> list:
-        """Full path: original images + person bboxes -> per-person results
-        in original-image pixels (and camera-space mm when intrinsics are
-        given). Uses the native C++ warp when available."""
+    def _preprocess(self, images: Sequence[np.ndarray], bboxes: np.ndarray):
+        """Host leg of the full path: bbox aspect-fix + affine crop to the
+        network input (native C++ warp when available). Returns the uint8
+        patches plus the per-person inverse affines needed for warp-back."""
         d = self.cfg.data
         in_h, in_w = d.input_shape
         aspect = in_w / in_h
@@ -203,13 +196,18 @@ class PoseServer:
             patches = np.asarray(
                 affine_warp_bilinear(jnp.asarray(canv), jnp.asarray(invs), (in_h, in_w))
             ).astype(np.uint8)
+        return patches, invs
 
-        voxels = self.predict_patches(patches)
+    def _postprocess(
+        self, voxels: np.ndarray, invs: np.ndarray, root_z: Optional[np.ndarray]
+    ) -> list:
+        """Voxel coords -> original-image px + mm depth (host, numpy)."""
+        d = self.cfg.data
         results = []
-        for i, vox in enumerate(voxels):
+        for i, vox in enumerate(np.asarray(voxels)):
             img_coords = geometry.warp_coord_to_original(
                 vox,
-                gen_trans_np(cx[i], cy[i], boxes[i, 2], boxes[i, 3], in_w, in_h, 1.0, 0.0, inv=True),
+                invs[i],
                 d.output_shape,
                 d.input_shape,
                 d.depth_dim,
@@ -218,6 +216,63 @@ class PoseServer:
             )
             results.append(PoseResult(coords_voxel=vox, coords_img=img_coords))
         return results
+
+    def predict(
+        self,
+        images: Sequence[np.ndarray],
+        bboxes: np.ndarray,
+        root_z: Optional[np.ndarray] = None,
+        f: Optional[np.ndarray] = None,
+        c: Optional[np.ndarray] = None,
+    ) -> list:
+        """Full path: original images + person bboxes -> per-person results
+        in original-image pixels (and camera-space mm when intrinsics are
+        given). Uses the native C++ warp when available."""
+        patches, invs = self._preprocess(images, bboxes)
+        voxels = self.predict_patches(patches)
+        return self._postprocess(voxels, invs, root_z)
+
+    def predict_stream(self, requests, depth: int = 2):
+        """Pipelined full-path serving: iterate ``(images, bboxes)`` or
+        ``(images, bboxes, root_z)`` requests, yielding one ``predict``-
+        equivalent result list per request IN ORDER.
+
+        Keeps ``depth`` requests in flight: the host warp of request i+1
+        runs while the device computes request i, because
+        ``submit_patches`` dispatches asynchronously (the serving analog
+        of data/pipeline.prefetch_to_device's double buffering). Results
+        are bit-identical to sequential ``predict`` calls — only the
+        host/device overlap changes (tools/serving_bench.py measures the
+        sustained rate)."""
+        import collections
+
+        q = collections.deque()
+
+        def stage(req):
+            images, bboxes = req[0], req[1]
+            root_z = req[2] if len(req) > 2 else None
+            patches, invs = self._preprocess(images, bboxes)
+            # async device dispatch per max_batch chunk — no host sync here
+            handles = [
+                self.submit_patches(patches[s : s + self.max_batch])
+                for s in range(0, len(patches), self.max_batch)
+            ]
+            return handles, invs, root_z
+
+        def finish(handles, invs, root_z):
+            voxels = (
+                np.concatenate([np.asarray(h) for h in handles])
+                if handles
+                else np.zeros((0, self.skeleton.joint_num, 3), np.float32)
+            )
+            return self._postprocess(voxels, invs, root_z)
+
+        for req in requests:
+            q.append(stage(req))
+            if len(q) >= depth:
+                yield finish(*q.popleft())
+        while q:
+            yield finish(*q.popleft())
 
 
 def load_server(

@@ -73,7 +73,11 @@ def _use_bexp() -> bool:
     MEASUREMENT MODE — perturbs gradients by ~2^-9 relative (forward and
     the parity contract are untouched), so adoption requires both the
     exp_probe showing a 2x bf16 VPU exp rate AND a from-scratch accuracy
-    A/B like the lean_sg gate. Composes with IHPR_EXP2."""
+    A/B like the lean_sg gate. Composes with IHPR_EXP2, but the combo
+    perturbs aggregate gradients ~10x more than bexp alone (base-2
+    arguments are log2(e)x larger, so the bf16 argument cast loses more:
+    measured 2.8% vs 0.03% on |dW| sums in interpret mode) — gate the
+    combo on its own accuracy A/B, not bexp's."""
     import os
 
     return os.environ.get("IHPR_BEXP", "0") == "1"

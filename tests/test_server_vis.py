@@ -65,6 +65,29 @@ def test_server_full_path_original_images(tiny_server):
         assert (-50 <= r.coords_img[:, 0]).all() and (r.coords_img[:, 0] < 250).all()
 
 
+def test_server_predict_stream_matches_sequential(tiny_server):
+    """Pipelined serving must be result-identical to sequential predict:
+    only host/device overlap changes."""
+    rng = np.random.RandomState(3)
+    reqs = []
+    for k in range(4):
+        n = 1 + k % 3
+        images = [
+            rng.randint(0, 255, (160 + 10 * k, 150, 3)).astype(np.uint8)
+            for _ in range(n)
+        ]
+        bboxes = np.tile(np.array([30, 30, 90, 100], np.float32), (n, 1))
+        reqs.append((images, bboxes, np.full(n, 4000.0)))
+    seq = [tiny_server.predict(*r) for r in reqs]
+    stream = list(tiny_server.predict_stream(reqs, depth=2))
+    assert len(stream) == len(seq)
+    for a, b in zip(stream, seq):
+        assert len(a) == len(b)
+        for ra, rb in zip(a, b):
+            np.testing.assert_allclose(ra.coords_voxel, rb.coords_voxel, atol=1e-6)
+            np.testing.assert_allclose(ra.coords_img, rb.coords_img, atol=1e-5)
+
+
 def test_server_flip_one_dispatch_matches_two(tiny_server):
     """The server's single 2B flip-test dispatch must equal the explicit
     two-forward composition (reference main/test.py flip semantics)."""

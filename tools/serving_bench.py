@@ -119,8 +119,24 @@ def main():
             f"sustained incl. native warp (1 host core): {warp_row:.1f} img/s"
         )
 
+    # --- 4. pipelined full-path requests (PoseServer.predict_stream) -----
+    n_req = 16
+    stream_reqs = [(frames, bboxes)] * n_req
+    list(server.predict_stream([(frames, bboxes)]))  # warm
+    t0 = time.perf_counter()
+    res = list(server.predict_stream(stream_reqs))
+    dt = time.perf_counter() - t0
+    assert len(res) == n_req and len(res[-1]) == 5
+    stream_rps = n_req / dt
+    print(
+        f"pipelined full-path: {n_req} x 5-person requests in {dt:.3f} s = "
+        f"{stream_rps:.1f} req/s ({1e3 * dt / n_req:.1f} ms/req effective "
+        f"vs {lat_ms:.1f} ms sequential)"
+    )
+
     out = {
         "request_latency_ms": round(lat_ms, 1),
+        "pipelined_req_per_s": round(stream_rps, 2),
         "sustained_img_per_s": round(sustained, 1),
         "sustained_incl_warp_img_per_s": (
             None if warp_row is None else round(warp_row, 1)
