@@ -1,0 +1,45 @@
+#!/bin/sh
+# Pending real-TPU measurement queue (SURVEY.md round-3 section).
+# Run the moment the tunnel relay is back:
+#     PYTHONUNBUFFERED=1 sh tools/tpu_queue.sh > /tmp/tpu_queue.log 2>&1 &
+# Each item is bounded and logs separately; a failure does not stop the
+# queue (every tool traps its own exceptions so the TPU client exits
+# cleanly — see CLAUDE.md seat-lock gotcha). Review logs in order; the
+# exp2/bexp adoption decision (flip IHPR_EXP2 default, bexp accuracy A/B)
+# is a HUMAN step between items 3 and 6, not automated here.
+set -x
+cd "$(dirname "$0")/.."
+export PYTHONUNBUFFERED=1
+
+# 0. seat probe: cheap chained matmul; if this hangs the seat is locked.
+timeout 300 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256))
+for _ in range(4): x = x @ x / 256.0
+print('seat ok', float(x.sum()))" || exit 1
+
+# 1. Mosaic smoke incl. exp2 lowering after the backward fold
+timeout 3000 python tools/tpu_smoke.py --fast > /tmp/q1_smoke.log 2>&1
+echo "q1 rc=$?"
+
+# 2. marginal exp/exp2/bexp VPU pass cost at production geometry
+timeout 3000 python tools/exp_probe.py > /tmp/q2_exp_probe.log 2>&1
+echo "q2 rc=$?"
+
+# 3. in-situ step A/B of the kernel exp modes
+timeout 6000 python tools/bwd_experiments.py \
+    --variants baseline,exp2,bexp,exp2_bexp > /tmp/q3_bwd.log 2>&1
+echo "q3 rc=$?"
+
+# 4. sustained serving throughput (+ pipelined full-path requests/s)
+timeout 3000 python tools/serving_bench.py > /tmp/q4_serving.log 2>&1
+echo "q4 rc=$?"
+
+# 5. eval FPS + train-incl-pipeline re-measure at HEAD
+timeout 6000 python tools/eval_bench.py > /tmp/q5_eval_bench.log 2>&1
+echo "q5 rc=$?"
+
+# 6. driver metric at HEAD (pre-adoption; re-run manually if a mode wins)
+timeout 3000 python bench.py > /tmp/q6_bench.json 2>/tmp/q6_bench.log
+echo "q6 rc=$?"
+echo QUEUE-DONE
