@@ -174,6 +174,25 @@ def main():
     assert dc < 1e-3 and dg < 1e-3 and bool(jnp.isfinite(c_2).all()), (dc, dg)
     print(f"2e. fused head exp2 vs exp: coords {dc:.2e} grad {dg:.2e} OK")
 
+    # --- 2f. bexp backward Mosaic lowering (bf16 exp inside the kernel) ---
+    # Compile-checks the measurement mode BEFORE tools/bwd_experiments.py
+    # runs it on the production step — a Mosaic failure there would cost a
+    # ~75 min seat-lock (CLAUDE.md). Forward is untouched by design;
+    # gradients may differ ~2^-9 relative (bf16 transcendental).
+    os.environ["IHPR_BEXP"] = "1"
+    try:
+        g_b = jax.jit(jax.grad(head_loss, argnums=(0, 1, 2)))(fe, ke, be)
+        db_rel = max(
+            float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+            for a, b in zip(g_b, g_e)
+        )
+        assert db_rel < 3e-2 and all(
+            bool(jnp.isfinite(a).all()) for a in g_b
+        ), db_rel
+        print(f"2f. fused head bexp backward: grad delta {db_rel:.2e} OK")
+    finally:
+        os.environ.pop("IHPR_BEXP", None)
+
     # --- 3. flagship train step ---
     from ihpr_tpu.config import get_config
     from ihpr_tpu.data import skeletons
