@@ -61,7 +61,15 @@ def _enable_compilation_cache():
             # mutually incompatible XLA:CPU AOT artifacts (observed:
             # feature-mismatch warnings loading a foreign entry whose
             # flags-line hash collided with this host's).
-            keep = ("flags", "model name", "model", "cpu family", "stepping")
+            # "bugs"/"microcode" matter too: LLVM's prefer-no-gather/
+            # -scatter tuning follows the gather-data-sampling (Downfall)
+            # mitigation state, which differs between same-model hosts and
+            # lives in those lines, not in `flags` (observed: foreign AOT
+            # entries loading with exactly that feature mismatch).
+            keep = (
+                "flags", "model name", "model", "cpu family", "stepping",
+                "bugs", "microcode",
+            )
             ident = []
             with open("/proc/cpuinfo") as f:
                 for line in f:
