@@ -46,7 +46,16 @@ class CheckpointManager:
         """Asynchronous: serialization happens in the background (a full
         snapshot takes ~70s of host IO on a 1-core host — blocking per epoch
         would dwarf the step time). The previous save is drained first;
-        call ``wait()`` before process exit."""
+        call ``wait()`` before process exit.
+
+        Multi-host: only process 0 writes (state is replicated, so every
+        process holds identical values; concurrent writers into the same
+        snapshot dir on a shared filesystem would corrupt it, and on
+        per-host disks the extra copies are pure redundant IO). Resume
+        under --multihost therefore expects ``output_dir`` on a filesystem
+        all hosts can read (every process restores from the same path)."""
+        if jax.process_index() != 0:
+            return
         self._ckpt.wait_until_finished()  # at most one save in flight
         # Prune BEFORE starting the new async write, and only down to
         # ``keep`` — never keep-1: that would leave a window with zero
@@ -63,8 +72,9 @@ class CheckpointManager:
 
     def _prune(self, keep: Optional[int]):
         """Remove all but the newest ``keep`` fully-written snapshots.
-        Call only after a drain (every dir on disk is then complete)."""
-        if keep is None:
+        Call only after a drain (every dir on disk is then complete).
+        Process 0 only, like ``save`` (shared-filesystem safety)."""
+        if keep is None or jax.process_index() != 0:
             return
         import shutil
 

@@ -17,6 +17,28 @@ class TestCheckpointKeepGuard:
         CheckpointManager(str(tmp_path), keep=1)  # fine
         CheckpointManager(str(tmp_path), keep=None)  # fine
 
+    def test_save_is_process0_only(self, tmp_path, monkeypatch):
+        # Multi-host: non-zero processes must not write (concurrent writers
+        # into one snapshot dir on a shared FS corrupt it); process 0 does.
+        import jax
+
+        from ihpr_tpu.engine.checkpoint import CheckpointManager
+
+        state = {"w": np.ones(3, np.float32)}
+        rng = jax.random.key(0)
+
+        ckpt = CheckpointManager(str(tmp_path / "p1"))
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        ckpt.save(0, state, rng)
+        ckpt.wait()
+        assert ckpt.latest_epoch() is None
+
+        monkeypatch.setattr(jax, "process_index", lambda: 0)
+        ckpt0 = CheckpointManager(str(tmp_path / "p0"))
+        ckpt0.save(0, state, rng)
+        ckpt0.wait()
+        assert ckpt0.latest_epoch() == 0
+
 
 class TestSemanticRenderer:
     """hue_mode='semantic' must render mirror-consistently: a horizontal
