@@ -170,6 +170,15 @@ class Tester:
             cfg, self.loader, self.dataset, preds_voxel
         )
 
+        # Every process computes (and returns) the metrics — predictions
+        # are identical after the allgather — but only process 0 writes
+        # files: concurrent same-path writers on a shared filesystem can
+        # interleave/truncate each other (same rule as checkpoint.save).
+        import jax
+
+        if jax.process_index() != 0:
+            return metrics
+
         if vis:  # reference: common/utils/vis.py overlays dumped to output/vis
             from ihpr_tpu.data.datasets import render_synthetic_image
             from ihpr_tpu.utils.vis import vis_keypoints
