@@ -39,9 +39,21 @@ def colorlogger(log_dir: str | None = None, log_name: str = "train_logs.txt") ->
     console = logging.StreamHandler(sys.stdout)
     console.setFormatter(_ColorFormatter(fmt, datefmt="%H:%M:%S"))
     logger.addHandler(console)
-    if log_dir:
+    if log_dir and _process_index() == 0:
+        # File handler on process 0 only: multi-host processes appending
+        # to one shared log interleave mid-line; console stays on all
+        # processes (each host's stdout is its own stream).
         os.makedirs(log_dir, exist_ok=True)
         fh = logging.FileHandler(os.path.join(log_dir, log_name))
         fh.setFormatter(logging.Formatter(fmt))
         logger.addHandler(fh)
     return logger
+
+
+def _process_index() -> int:
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:  # logging must never depend on a live backend
+        return 0
