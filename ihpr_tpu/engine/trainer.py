@@ -86,6 +86,21 @@ class Trainer:
                 self.state, self.data_rng, epoch = restored
                 self.start_epoch = epoch + 1
                 self.logger.info(f"resumed from snapshot_{epoch}")
+            if jax.process_count() > 1:
+                # Snapshots are written by process 0 only; resume expects
+                # output_dir on a filesystem every host reads. A host that
+                # sees a different latest epoch (non-shared dir, partial
+                # sync) would silently train a diverged stream — fail fast.
+                from jax.experimental import multihost_utils
+
+                epochs = multihost_utils.process_allgather(
+                    np.asarray(self.start_epoch, np.int32)
+                )
+                assert int(epochs.min()) == int(epochs.max()), (
+                    f"processes disagree on the resume epoch ({epochs}): "
+                    "output_dir must be shared across hosts for --continue "
+                    "under --multihost"
+                )
 
     def cap_steps_per_epoch(self, n: int):
         """Shrink epochs to n steps (smoke runs). Rebuilds the optimizer and
