@@ -31,8 +31,40 @@ import time
 H100_BASELINE_IMG_PER_SEC = 1300.0
 
 
+def _device_init_watchdog(timeout_s: float = 600.0):
+    """Abort with a diagnostic if PJRT client init hangs.
+
+    On this platform the TPU is reached through a localhost tunnel relay;
+    when the relay is down, ``jax.devices()`` blocks forever at PJRT INIT
+    (CLAUDE.md "relay death"). A hung bench gives the driver nothing —
+    fail fast with an explanation instead. The timer is cancelled as soon
+    as devices enumerate, so slow first-compiles are unaffected.
+    """
+    import os
+    import threading
+
+    def _abort():
+        print(
+            "bench: FATAL — PJRT client init exceeded "
+            f"{timeout_s:.0f}s (TPU tunnel relay down? probe: "
+            "`(echo > /dev/tcp/127.0.0.1/8082) || echo CLOSED`)",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(2)
+
+    t = threading.Timer(timeout_s, _abort)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _device_init_watchdog()
     import jax
+
+    jax.devices()  # force PJRT client init under the watchdog
+    watchdog.cancel()
 
     from ihpr_tpu.config import get_config
     from ihpr_tpu.data import skeletons
