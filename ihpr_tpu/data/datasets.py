@@ -28,6 +28,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import warnings
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -385,6 +386,7 @@ def make_synthetic(
     with_depth: Optional[bool] = None,
     easy_depth: bool = False,
     hue_mode: str = "index",
+    hue_skeleton: Optional[skeletons.Skeleton] = None,
 ) -> List[dict]:
     """Random but geometrically consistent samples; images are rendered on
     demand by ``render_synthetic_image`` (Gaussian blobs at joints), so a
@@ -394,14 +396,36 @@ def make_synthetic(
     chirality-coded blob tilt, ``_semantic_hue_coding``), which makes
     flip-test and horizontal-flip augmentation label-consistent on
     synthetic data; ``"index"`` (default, one hue per joint index) keeps
-    the historical probes' data distribution."""
+    the historical probes' data distribution.
+
+    ``hue_skeleton`` assigns each joint the hue its SAME-NAMED joint has in
+    that other skeleton — required for mixed-dataset probes (reference
+    common/base.py multi-dataset trainset): real photos code joint identity
+    by anatomy, identically across datasets, so synthetic MPII frames mixed
+    into H36M training must reuse the H36M hue for e.g. "Pelvis" or the two
+    datasets would supervise conflicting hue->joint mappings that real data
+    never has. Every joint name must exist in ``hue_skeleton``."""
     rng = np.random.RandomState(seed)
     if with_depth is None:
         with_depth = skeleton.has_depth
     f = np.array([1100.0, 1100.0], np.float32)
     c = np.array([img_size / 2, img_size / 2], np.float32)
+    name_map = None
+    if hue_skeleton is not None and hue_skeleton is not skeleton:
+        hs_index = {nm: i for i, nm in enumerate(hue_skeleton.joints_name)}
+        missing = [nm for nm in skeleton.joints_name if nm not in hs_index]
+        if missing:
+            raise ValueError(
+                f"hue_skeleton {hue_skeleton.name!r} lacks joints {missing}"
+            )
+        name_map = np.array(
+            [hs_index[nm] for nm in skeleton.joints_name], np.int32
+        )
     if hue_mode == "semantic":
-        hue_class, tilt, n_hue = _semantic_hue_coding(skeleton)
+        hue_class, tilt, n_hue = _semantic_hue_coding(hue_skeleton or skeleton)
+        if name_map is not None:
+            hue_class = hue_class[name_map]
+            tilt = tilt[name_map]
     elif hue_mode != "index":
         raise ValueError(f"unknown hue_mode {hue_mode!r}")
     samples = []
@@ -447,6 +471,10 @@ def make_synthetic(
             s["hue_class"] = hue_class
             s["hue_classes_total"] = n_hue
             s["tilt"] = tilt
+        elif name_map is not None:
+            # Index-mode hues in the hue_skeleton's index space.
+            s["hue_idx"] = name_map
+            s["hue_idx_total"] = hue_skeleton.joint_num
         samples.append(s)
     return samples
 
@@ -500,7 +528,12 @@ def render_synthetic_image(sample: dict, sigma: float = 4.0) -> np.ndarray:
             )
         else:
             blob = np.exp(-((xs - x) ** 2 + (ys - y) ** 2) / (2 * sj**2))
-            ang = 2 * np.pi * j / max(n, 1)
+            if "hue_idx" in sample:  # hue_skeleton-unified index hues
+                ang = 2 * np.pi * sample["hue_idx"][j] / max(
+                    sample["hue_idx_total"], 1
+                )
+            else:
+                ang = 2 * np.pi * j / max(n, 1)
         rgb = 128 + 120 * np.array(
             [np.cos(ang), np.cos(ang - 2 * np.pi / 3), np.cos(ang + 2 * np.pi / 3)]
         )
@@ -554,6 +587,12 @@ def materialize_synthetic(
                 if s.get("hue_mode", "index") == "semantic"
                 else b""
             )
+            + (
+                np.asarray(s["hue_idx"], np.int32).tobytes()
+                + str(s["hue_idx_total"]).encode("ascii")
+                if "hue_idx" in s
+                else b""
+            )
         ).hexdigest()[:12]
         path = os.path.join(out_dir, f"synth_{s['synth_seed']}_{key}.jpg")
         if not os.path.exists(path):
@@ -580,9 +619,17 @@ def build_dataset(
     cfg: Config,
     data_root: Optional[str] = None,
     synthetic_size: int = 256,
+    hue_skeleton: Optional[skeletons.Skeleton] = None,
 ) -> PoseDataset:
     """Factory mirroring the reference's dynamic dataset import
-    (``common/base.py:_make_batch_generator`` exec/import dance)."""
+    (``common/base.py:_make_batch_generator`` exec/import dance).
+
+    ``hue_skeleton`` (synthetic roots only): render this dataset's joints
+    in another skeleton's hue space so a mixed trainset codes joint
+    identity consistently across datasets, as real photos do (reference
+    multi-dataset recipe, common/base.py trainset loop). Ignored with a
+    warning when the skeletons are hue-incompatible (e.g. MSCOCO's
+    eyes/ears have no H36M counterpart)."""
     import zlib
 
     skel = skeletons.get_skeleton(name)
@@ -591,7 +638,18 @@ def build_dataset(
         # crc32, not hash(): str hash is randomized per process, which would
         # give every host/restart a different synthetic dataset.
         seed = zlib.crc32(f"{name}/{split}".encode()) % 2**31
-        samples = make_synthetic(skel, synthetic_size, seed=seed)
+        if hue_skeleton is not None and any(
+            nm not in hue_skeleton.joints_name for nm in skel.joints_name
+        ):
+            warnings.warn(
+                f"synthetic {name}: hue_skeleton {hue_skeleton.name!r} lacks "
+                "some joints; falling back to per-dataset index hues "
+                "(joint-identity coding will differ across the mixed trainset)"
+            )
+            hue_skeleton = None
+        samples = make_synthetic(
+            skel, synthetic_size, seed=seed, hue_skeleton=hue_skeleton
+        )
     elif not os.path.exists(root):
         raise FileNotFoundError(
             f"dataset root {root!r} does not exist; pass --data_root pointing at "

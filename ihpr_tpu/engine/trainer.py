@@ -45,9 +45,23 @@ class Trainer:
         self.logger = colorlogger(f"{cfg.output_dir}/log", "train_logs.txt")
 
         if datasets is None:
+            # Secondary synthetic datasets render in the primary skeleton's
+            # hue space so joint identity is coded consistently across the
+            # mix (reference multi-dataset trainset, common/base.py) — real
+            # photos code anatomy identically across datasets.
+            from ihpr_tpu.data import skeletons
+
+            primary = skeletons.get_skeleton(cfg.data.trainset[0])
             datasets = [
-                build_dataset(name, "train", cfg, data_root, synthetic_size)
-                for name in cfg.data.trainset
+                build_dataset(
+                    name,
+                    "train",
+                    cfg,
+                    data_root,
+                    synthetic_size,
+                    hue_skeleton=primary if i else None,
+                )
+                for i, name in enumerate(cfg.data.trainset)
             ]
         self.mesh = make_mesh(cfg.parallel.data_axis_size, cfg.parallel.data_axis_name)
         n_dev = self.mesh.devices.size

@@ -224,6 +224,142 @@ class TestBNModesAndRemat:
         )
 
 
+class TestHueSkeleton:
+    """make_synthetic(hue_skeleton=...) codes joint identity in ANOTHER
+    skeleton's hue space — mixed-dataset probes need MPII frames whose
+    'Pelvis' has the same hue H36M frames give it, because real photos code
+    joint identity anatomically, identically across datasets (reference
+    common/base.py multi-dataset trainset)."""
+
+    def test_index_hue_idx_is_name_mapped(self):
+        from ihpr_tpu.data import skeletons
+        from ihpr_tpu.data.datasets import make_synthetic
+
+        (s,) = make_synthetic(
+            skeletons.MPII, 1, seed=0, img_size=64,
+            hue_skeleton=skeletons.H36M,
+        )
+        h36m_index = {n: i for i, n in enumerate(skeletons.H36M.joints_name)}
+        for j, name in enumerate(skeletons.MPII.joints_name):
+            assert s["hue_idx"][j] == h36m_index[name]
+        assert s["hue_idx_total"] == skeletons.H36M.joint_num
+
+    def test_index_hue_matches_h36m_rendering(self):
+        # An isolated MPII joint renders the EXACT pixels its same-named
+        # H36M joint renders (same position/depth): one joint in frame,
+        # the rest pushed far outside the +-4 sigma render window.
+        from ihpr_tpu.data import skeletons
+        from ihpr_tpu.data.datasets import make_synthetic, render_synthetic_image
+
+        (mp,) = make_synthetic(
+            skeletons.MPII, 1, seed=1, img_size=64,
+            hue_skeleton=skeletons.H36M,
+        )
+        (h36m,) = make_synthetic(skeletons.H36M, 1, seed=2, img_size=64)
+        name = "R_Knee"
+        jm = skeletons.MPII.joints_name.index(name)
+        jh = skeletons.H36M.joints_name.index(name)
+        for s, j in ((mp, jm), (h36m, jh)):
+            ji = np.full_like(s["joint_img"], -500.0)
+            ji[j] = (32.0, 32.0, 0.0)
+            s["joint_img"] = ji
+        img_m = render_synthetic_image(mp)
+        img_h = render_synthetic_image(h36m)
+        assert img_m[32, 32].any()  # blob actually rendered
+        np.testing.assert_array_equal(img_m, img_h)
+
+    def test_semantic_hue_skeleton_mirror_consistent(self):
+        # Cross-skeleton semantic hues keep the mirror-consistency property
+        # under the MPII flip permutation (pair-shared hue class, opposite
+        # tilts survive the name mapping).
+        from ihpr_tpu.data import skeletons
+        from ihpr_tpu.data.datasets import make_synthetic, render_synthetic_image
+
+        skel = skeletons.MPII
+        perm = skel.flip_permutation()
+        w = 128
+        samples = make_synthetic(
+            skel, 2, seed=7, img_size=w, hue_mode="semantic",
+            hue_skeleton=skeletons.H36M,
+        )
+        for s in samples:
+            for a, b in skel.flip_pairs:
+                assert s["hue_class"][a] == s["hue_class"][b]
+                assert s["tilt"][a] == -s["tilt"][b]
+            img = render_synthetic_image(s)
+            s2 = dict(s)
+            ji = s["joint_img"][perm].copy()
+            ji[:, 0] = (w - 1) - ji[:, 0]
+            s2["joint_img"] = ji
+            img2 = render_synthetic_image(s2)
+            diff = np.abs(img[:, ::-1].astype(int) - img2.astype(int))
+            assert diff.mean() < 0.5, diff.mean()
+            assert (diff > 2).mean() < 2e-3, (diff > 2).mean()
+
+    def test_missing_joint_raises(self):
+        # MSCOCO has eyes/ears H36M lacks — silent zero-hues would alias
+        # several joints onto one color; must raise instead.
+        import pytest
+
+        from ihpr_tpu.data import skeletons
+        from ihpr_tpu.data.datasets import make_synthetic
+
+        with pytest.raises(ValueError, match="L_Eye"):
+            make_synthetic(
+                skeletons.MSCOCO, 1, img_size=64, hue_skeleton=skeletons.H36M
+            )
+
+    def test_build_dataset_unifies_hues(self):
+        # The Trainer's CLI path (--synthetic --trainset Human36M,MPII)
+        # goes through build_dataset: secondary synthetic datasets must
+        # land in the primary skeleton's hue space.
+        from ihpr_tpu.config import get_config
+        from ihpr_tpu.data import skeletons
+        from ihpr_tpu.data.datasets import build_dataset
+
+        cfg = get_config("h36m3d_r50")
+        ds = build_dataset(
+            "MPII", "train", cfg, "synthetic", 4,
+            hue_skeleton=skeletons.H36M,
+        )
+        h36m_index = {n: i for i, n in enumerate(skeletons.H36M.joints_name)}
+        for s in ds.samples:
+            for j, name in enumerate(skeletons.MPII.joints_name):
+                assert s["hue_idx"][j] == h36m_index[name]
+
+    def test_build_dataset_incompatible_hue_warns(self):
+        # MSCOCO eyes/ears have no H36M counterpart: warn + fall back to
+        # per-dataset index hues rather than raise (the CLI must still run).
+        import pytest
+
+        from ihpr_tpu.config import get_config
+        from ihpr_tpu.data import skeletons
+        from ihpr_tpu.data.datasets import build_dataset
+
+        cfg = get_config("h36m3d_r50")
+        with pytest.warns(UserWarning, match="hue_skeleton"):
+            ds = build_dataset(
+                "MSCOCO", "train", cfg, "synthetic", 2,
+                hue_skeleton=skeletons.H36M,
+            )
+        assert all("hue_idx" not in s for s in ds.samples)
+
+    def test_materialize_key_covers_hue_idx(self, tmp_path):
+        # Same joints, different hue space -> different pixels -> the JPEG
+        # cache key must differ (the ADVICE-r2 stale-cache lesson).
+        from ihpr_tpu.data import skeletons
+        from ihpr_tpu.data.datasets import make_synthetic, materialize_synthetic
+
+        plain = make_synthetic(skeletons.MPII, 1, seed=4, img_size=64)
+        unified = make_synthetic(
+            skeletons.MPII, 1, seed=4, img_size=64,
+            hue_skeleton=skeletons.H36M,
+        )
+        a = materialize_synthetic(plain, str(tmp_path))
+        b = materialize_synthetic(unified, str(tmp_path))
+        assert a[0]["img_path"] != b[0]["img_path"]
+
+
 class TestMaterializeCacheKey:
     def test_quality_changes_key(self, tmp_path):
         from ihpr_tpu.data import skeletons

@@ -135,6 +135,31 @@ def main():
     )
     ap.add_argument("--aug_bar_mult", type=float, default=1.4)
     ap.add_argument(
+        "--mixed",
+        action="store_true",
+        help="mix a synthetic MPII (2D-only) trainset into the H36M one — "
+        "the reference's headline recipe (common/base.py multi-dataset "
+        "trainset + transform_joint_to_other_db; BASELINE 'mixed H36M+MPII "
+        "batches'). MPII rows supervise x,y only (z masked by "
+        "joints_have_depth); their frames reuse the H36M hue per joint "
+        "name (make_synthetic hue_skeleton) so joint-identity coding is "
+        "consistent across the mix, as it is for real photos. The bar is "
+        "unchanged: mixed 2D data must not hurt 3D eval",
+    )
+    ap.add_argument(
+        "--mixed_size",
+        type=int,
+        default=None,
+        help="synthetic MPII trainset size (default: same as train_size)",
+    )
+    ap.add_argument(
+        "--platform",
+        default=None,
+        help="force a jax platform (e.g. 'cpu' for host-side smokes) — "
+        "the JAX_PLATFORMS env var is frozen before main() on this host, "
+        "so only the in-process config update works (CLAUDE.md gotcha)",
+    )
+    ap.add_argument(
         "--bn_mode",
         default=None,
         help="override cfg.model.bn_mode (e.g. lean_sg) — used to price "
@@ -150,6 +175,9 @@ def main():
         raise SystemExit("--flip_ab/--use_aug need --hue_mode semantic")
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     # True fp32 on the MXU: default-precision fp32 convs quantize inputs
     # to bf16 (CLAUDE.md gotcha), which alone shifts coords ~0.25 voxel
@@ -297,8 +325,28 @@ def main():
     train_ds = PoseDataset("Human36M", skel, train_samples, True)
     test_ds = PoseDataset("Human36M", skel, test_samples, False)
 
+    train_datasets = [train_ds]
+    mixed_size = 0
+    if args.mixed:
+        mixed_size = args.mixed_size or train_size
+        cfg = cfg.replace(
+            data=dataclasses.replace(cfg.data, trainset=("Human36M", "MPII"))
+        )
+        mpii_samples = make_synthetic(
+            skeletons.MPII,
+            mixed_size,
+            seed=33,
+            img_size=img_size,
+            hue_mode=hue_mode,
+            hue_skeleton=skel,
+        )
+        mpii_samples = materialize_synthetic(mpii_samples, f"{out_dir}/imgs")
+        train_datasets.append(
+            PoseDataset("MPII", skeletons.MPII, mpii_samples, True)
+        )
+
     t0 = time.perf_counter()
-    trainer = Trainer(cfg, datasets=[train_ds], num_workers=8)
+    trainer = Trainer(cfg, datasets=train_datasets, num_workers=8)
     state = trainer.train(end_epoch=end_epoch)
     train_s = time.perf_counter() - t0
 
@@ -344,6 +392,7 @@ def main():
         "preset": args.preset,
         "hue_mode": hue_mode,
         "use_aug": bool(args.use_aug),
+        "mixed_mpii_size": mixed_size,
         "config": cfg.name,
         "resnet": cfg.model.resnet_type,
         "input_shape": list(cfg.data.input_shape),
@@ -413,8 +462,9 @@ def main():
 
     # PARITY.md-ready row
     tm = result.get("mpjpe_torch_mm", float("nan"))
+    label = args.preset + ("+mpii" if args.mixed else "")
     print(
-        f"| {args.preset} | r{cfg.model.resnet_type} @ "
+        f"| {label} | r{cfg.model.resnet_type} @ "
         f"{cfg.data.input_shape[0]}^2, {cfg.data.depth_dim}^3 vol | "
         f"{train_size} imgs x {end_epoch} ep | {ours:.1f} | {tm:.1f} | "
         f"{result.get('mpjpe_gap_mm', float('nan')):.3f} |"

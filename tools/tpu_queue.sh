@@ -42,4 +42,11 @@ echo "q5 rc=$?"
 # 6. driver metric at HEAD (pre-adoption; re-run manually if a mode wins)
 timeout 3000 python bench.py > /tmp/q6_bench.json 2>/tmp/q6_bench.log
 echo "q6 rc=$?"
+
+# 7. mixed H36M+MPII trainset accuracy evidence (reference common/base.py
+#    multi-dataset recipe; BASELINE "mixed H36M+MPII batches"): 2D rows
+#    must not hurt 3D eval — same 130 mm bar as the plain tiny preset.
+timeout 6000 python tools/accuracy_loop.py --preset tiny --mixed \
+    --output_dir /tmp/accuracy_tiny_mixed > /tmp/q7_mixed.log 2>&1
+echo "q7 rc=$?"
 echo QUEUE-DONE
