@@ -584,6 +584,10 @@ def materialize_synthetic(
             + (
                 np.asarray(s["hue_class"], np.int32).tobytes()
                 + np.asarray(s["tilt"], np.float32).tobytes()
+                # The angle divisor: under hue_skeleton mapping hue_class
+                # is a SUBSET of the hue space, so the total is not
+                # derivable from the classes themselves.
+                + str(s["hue_classes_total"]).encode("ascii")
                 if s.get("hue_mode", "index") == "semantic"
                 else b""
             )
@@ -638,18 +642,20 @@ def build_dataset(
         # crc32, not hash(): str hash is randomized per process, which would
         # give every host/restart a different synthetic dataset.
         seed = zlib.crc32(f"{name}/{split}".encode()) % 2**31
-        if hue_skeleton is not None and any(
-            nm not in hue_skeleton.joints_name for nm in skel.joints_name
-        ):
-            warnings.warn(
-                f"synthetic {name}: hue_skeleton {hue_skeleton.name!r} lacks "
-                "some joints; falling back to per-dataset index hues "
-                "(joint-identity coding will differ across the mixed trainset)"
+        try:
+            samples = make_synthetic(
+                skel, synthetic_size, seed=seed, hue_skeleton=hue_skeleton
             )
-            hue_skeleton = None
-        samples = make_synthetic(
-            skel, synthetic_size, seed=seed, hue_skeleton=hue_skeleton
-        )
+        except ValueError as err:
+            # make_synthetic's missing-joint validation (the only ValueError
+            # reachable with default hue_mode): warn + fall back rather than
+            # fail the CLI.
+            warnings.warn(
+                f"synthetic {name}: hue_skeleton unification failed ({err}); "
+                "falling back to per-dataset index hues (joint-identity "
+                "coding will differ across the mixed trainset)"
+            )
+            samples = make_synthetic(skel, synthetic_size, seed=seed)
     elif not os.path.exists(root):
         raise FileNotFoundError(
             f"dataset root {root!r} does not exist; pass --data_root pointing at "

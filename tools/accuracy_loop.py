@@ -328,7 +328,7 @@ def main():
     train_datasets = [train_ds]
     mixed_size = 0
     if args.mixed:
-        mixed_size = args.mixed_size or train_size
+        mixed_size = train_size if args.mixed_size is None else args.mixed_size
         cfg = cfg.replace(
             data=dataclasses.replace(cfg.data, trainset=("Human36M", "MPII"))
         )
@@ -341,9 +341,10 @@ def main():
             hue_skeleton=skel,
         )
         mpii_samples = materialize_synthetic(mpii_samples, f"{out_dir}/imgs")
-        train_datasets.append(
-            PoseDataset("MPII", skeletons.MPII, mpii_samples, True)
-        )
+        if mpii_samples:  # --mixed_size 0 = config-only control run
+            train_datasets.append(
+                PoseDataset("MPII", skeletons.MPII, mpii_samples, True)
+            )
 
     t0 = time.perf_counter()
     trainer = Trainer(cfg, datasets=train_datasets, num_workers=8)

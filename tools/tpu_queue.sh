@@ -43,10 +43,30 @@ echo "q5 rc=$?"
 timeout 3000 python bench.py > /tmp/q6_bench.json 2>/tmp/q6_bench.log
 echo "q6 rc=$?"
 
+# Items below are LONG accuracy runs. If the relay only came back late in
+# the round, skip them so the chip's seat is free when the driver runs its
+# end-of-round bench (two clients contend for the single tunnel seat).
+# Override: QUEUE_DEADLINE=<epoch-seconds> (0 = no deadline).
+DEADLINE="${QUEUE_DEADLINE:-$(date -u -d '2026-08-18T17:30:00Z' +%s)}"
+past_deadline() {
+    [ "$DEADLINE" != 0 ] && [ "$(date -u +%s)" -ge "$DEADLINE" ]
+}
+
 # 7. mixed H36M+MPII trainset accuracy evidence (reference common/base.py
 #    multi-dataset recipe; BASELINE "mixed H36M+MPII batches"): 2D rows
 #    must not hurt 3D eval — same 130 mm bar as the plain tiny preset.
+if past_deadline; then echo "q7 SKIPPED (deadline)"; else
 timeout 6000 python tools/accuracy_loop.py --preset tiny --mixed \
     --output_dir /tmp/accuracy_tiny_mixed > /tmp/q7_mixed.log 2>&1
 echo "q7 rc=$?"
+fi
+
+# 8. flagship-scale mixed run (R50 @ 256^2, 64^3, production bf16 +
+#    synthetic MPII mix = the reference's headline recipe end-to-end).
+#    Longest item, least adoption-critical: strictly last.
+if past_deadline; then echo "q8 SKIPPED (deadline)"; else
+timeout 10800 python tools/accuracy_loop.py --preset flagship --mixed \
+    --output_dir /tmp/accuracy_flagship_mixed > /tmp/q8_mixed_flagship.log 2>&1
+echo "q8 rc=$?"
+fi
 echo QUEUE-DONE
