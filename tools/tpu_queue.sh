@@ -61,12 +61,13 @@ timeout 6000 python tools/accuracy_loop.py --preset tiny --mixed \
 echo "q7 rc=$?"
 fi
 
-# 8. flagship-scale mixed run (R50 @ 256^2, 64^3, production bf16 +
-#    synthetic MPII mix = the reference's headline recipe end-to-end).
-#    Longest item, least adoption-critical: strictly last.
+# 8. BASELINE config #4 VERBATIM: R152 @ 288x384, mixed H36M+MPII
+#    batches, bf16 — the one config whose committed accuracy row lacked
+#    the mix. Longest item, least adoption-critical: strictly last.
 if past_deadline; then echo "q8 SKIPPED (deadline)"; else
-timeout 10800 python tools/accuracy_loop.py --preset flagship --mixed \
-    --output_dir /tmp/accuracy_flagship_mixed > /tmp/q8_mixed_flagship.log 2>&1
+timeout 10800 python tools/accuracy_loop.py --preset r152 --mixed \
+    --end_epoch 100 --output_dir /tmp/accuracy_r152_mixed \
+    > /tmp/q8_mixed_r152.log 2>&1
 echo "q8 rc=$?"
 fi
 echo QUEUE-DONE
