@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Export a trained snapshot as a self-contained StableHLO serving
+artifact (ihpr_tpu/engine/export.py).
+
+    python tools/export_artifact.py --config h36m3d_r50 \
+        --snapshot_dir /path/to/run [--epoch N] [--batch 16] \
+        [--platforms tpu,cpu] [--flip_test] --out pose_r50.stablehlo
+
+The artifact bakes the weights in; a serving process loads it with only
+jax installed:
+
+    from ihpr_tpu.engine.export import load_exported
+    fn = load_exported(open("pose_r50.stablehlo", "rb").read())
+    coords = fn(patches_u8, np.ones((B, 3), np.float32))
+
+Use --platform cpu to force the local leg onto CPU (e.g. exporting on a
+host whose TPU tunnel is down — lowering needs no device execution).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--snapshot_dir", required=True)
+    ap.add_argument("--epoch", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--platforms", default="tpu,cpu")
+    ap.add_argument("--flip_test", action="store_true")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--platform", default=None, help="force local jax platform")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from ihpr_tpu.config import get_config
+    from ihpr_tpu.engine.export import export_server
+    from ihpr_tpu.engine.server import load_server
+
+    cfg = get_config(args.config)
+    srv = load_server(
+        cfg,
+        snapshot_dir=args.snapshot_dir,
+        epoch=args.epoch,
+        max_batch=args.batch,
+        flip_test=args.flip_test,
+    )
+    blob = export_server(
+        srv, batch=args.batch, platforms=tuple(args.platforms.split(","))
+    )
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(
+        f"wrote {args.out}: {len(blob) / 1e6:.1f} MB, batch {args.batch}, "
+        f"platforms {args.platforms}, flip_test {args.flip_test}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -243,6 +243,21 @@ def main():
     res = srv.predict(imgs, np.array([[50, 60, 180, 260]] * 3, np.float32), root_z=np.full(3, 4000.0))
     assert len(res) == 3 and all(np.isfinite(r.coords_img).all() for r in res)
     print("4. PoseServer end-to-end OK")
+
+    # --- 5. StableHLO serving artifact on the real chip ---
+    # Export (plain-XLA composition, weights baked in), deserialize, run
+    # on-TPU, and compare against the live server on the same patches.
+    from ihpr_tpu.engine.export import export_server, load_exported
+
+    patches = rng.randint(0, 255, (8, *cfg.data.input_shape, 3)).astype(np.uint8)
+    live = srv.predict_patches(patches)
+    fn = load_exported(export_server(srv))
+    art = np.asarray(fn(patches, np.ones((8, 3), np.float32)))
+    d = np.abs(art - live).max()
+    # live path may use the Mosaic kernel; the artifact uses the plain
+    # composition — equivalence-tested numerics, loose fp tolerance here.
+    assert d < 1e-3, d
+    print(f"5. exported artifact vs live server: {d:.2e} OK")
     print("ALL TPU SMOKE CHECKS PASSED")
 
 
