@@ -39,15 +39,23 @@ from jax import export as jax_export
 
 def export_server(
     server,
-    batch: Optional[int] = None,
+    batch=None,
     platforms: Sequence[str] = ("tpu", "cpu"),
 ) -> bytes:
     """Serialize ``server``'s inference program (weights baked in).
 
-    ``batch`` defaults to ``server.max_batch``. ``platforms`` is the set
-    of deploy targets the artifact must run on.
+    ``batch``: an int for a fixed-shape artifact, ``None`` for
+    ``server.max_batch``, or the string ``"poly"`` for a
+    batch-POLYMORPHIC artifact (``jax.export`` symbolic dimension): one
+    blob serves any batch size, including through the fused flip-test
+    branch (its concat doubles a symbolic dim, which shape polymorphism
+    handles). ``platforms`` is the set of deploy targets the artifact
+    must run on.
     """
-    b = batch or server.max_batch
+    if batch == "poly":
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = batch or server.max_batch
     h, w = server.cfg.data.input_shape
 
     def fn(patch_u8, color_scale):

@@ -57,6 +57,23 @@ def test_export_covers_flip_test_branch(tiny_setup):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_export_batch_polymorphic(tiny_setup):
+    # One artifact, any batch size — including through the flip-test
+    # branch, whose concat doubles the symbolic dim.
+    cfg, params, bstats = tiny_setup
+    server = PoseServer(cfg, params, bstats, max_batch=4, flip_test=True)
+    fn = load_exported(export_server(server, batch="poly"))
+    for n in (1, 3):
+        patches = (
+            np.random.RandomState(n)
+            .randint(0, 255, (n, 64, 64, 3))
+            .astype(np.uint8)
+        )
+        ref = server.predict_patches(patches)
+        out = np.asarray(fn(patches, np.ones((n, 3), np.float32)))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def test_export_is_weight_dependent(tiny_setup):
     # Artifacts bake the weights in: different params -> different blob
     # behavior (guards against accidentally exporting an unweighted fn).

@@ -31,7 +31,11 @@ def main():
     ap.add_argument("--config", required=True)
     ap.add_argument("--snapshot_dir", required=True)
     ap.add_argument("--epoch", type=int, default=None)
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument(
+        "--batch",
+        default="16",
+        help="fixed batch size, or 'poly' for a batch-polymorphic artifact",
+    )
     ap.add_argument("--platforms", default="tpu,cpu")
     ap.add_argument("--flip_test", action="store_true")
     ap.add_argument("--out", required=True)
@@ -47,16 +51,17 @@ def main():
     from ihpr_tpu.engine.export import export_server
     from ihpr_tpu.engine.server import load_server
 
+    batch = args.batch if args.batch == "poly" else int(args.batch)
     cfg = get_config(args.config)
     srv = load_server(
         cfg,
         snapshot_dir=args.snapshot_dir,
         epoch=args.epoch,
-        max_batch=args.batch,
+        max_batch=16 if batch == "poly" else batch,
         flip_test=args.flip_test,
     )
     blob = export_server(
-        srv, batch=args.batch, platforms=tuple(args.platforms.split(","))
+        srv, batch=batch, platforms=tuple(args.platforms.split(","))
     )
     with open(args.out, "wb") as f:
         f.write(blob)

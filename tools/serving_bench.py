@@ -119,6 +119,34 @@ def main():
             f"sustained incl. native warp (1 host core): {warp_row:.1f} img/s"
         )
 
+    # --- 3b. exported StableHLO artifact vs the live server --------------
+    # The artifact runs the plain-XLA soft-argmax composition (portable;
+    # no Mosaic custom call). Price that substitution at serving batch
+    # sizes — the PARITY datapoint behind engine/export.py's claim that
+    # the live server stays the max-throughput path.
+    artifact_row = None
+    try:
+        from ihpr_tpu.engine.export import export_server, load_exported
+
+        fn = load_exported(export_server(server, batch=max_batch))
+        ones = np.ones((max_batch, 3), np.float32)
+        _ = fn(patches, ones)  # warmup/compile
+        handles = []
+        t0 = time.perf_counter()
+        for i in range(n_chunks):
+            chunk = patches.copy()
+            handles.append(fn(chunk, ones))
+        total = float(jnp.stack([h.sum() for h in handles]).sum())
+        dt = time.perf_counter() - t0
+        assert np.isfinite(total)
+        artifact_row = n_imgs / dt
+        print(
+            f"sustained via exported artifact (plain-XLA composition): "
+            f"{artifact_row:.1f} img/s (live fused path: {sustained:.1f})"
+        )
+    except Exception as e:  # keep the queue going; artifact is optional
+        print(f"artifact phase FAILED: {type(e).__name__}: {e}")
+
     # --- 4. pipelined full-path requests (PoseServer.predict_stream) -----
     n_req = 16
     stream_reqs = [(frames, bboxes)] * n_req
@@ -140,6 +168,9 @@ def main():
         "sustained_img_per_s": round(sustained, 1),
         "sustained_incl_warp_img_per_s": (
             None if warp_row is None else round(warp_row, 1)
+        ),
+        "sustained_artifact_img_per_s": (
+            None if artifact_row is None else round(artifact_row, 1)
         ),
         "max_batch": max_batch,
         "flip_test": True,
