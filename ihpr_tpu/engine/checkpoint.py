@@ -48,14 +48,17 @@ class CheckpointManager:
         would dwarf the step time). The previous save is drained first;
         call ``wait()`` before process exit.
 
-        Multi-host: only process 0 writes (state is replicated, so every
-        process holds identical values; concurrent writers into the same
-        snapshot dir on a shared filesystem would corrupt it, and on
-        per-host disks the extra copies are pure redundant IO). Resume
-        under --multihost therefore expects ``output_dir`` on a filesystem
-        all hosts can read (every process restores from the same path)."""
-        if jax.process_index() != 0:
-            return
+        Multi-host: EVERY process must call this — orbax's
+        ``AsyncCheckpointer.save`` opens with a
+        ``sync_global_processes('Checkpointer:save_start')`` barrier, so
+        a process-0-only guard here would leave process 0 blocked at the
+        barrier forever (measured: the 2-process save in
+        tools/multiprocess_dp.py). Orbax itself writes the payload bytes
+        on the primary host only, which is what makes concurrent-writer
+        corruption impossible; the host-side ``_prune`` stays
+        process-0-gated. Resume under --multihost expects ``output_dir``
+        on a filesystem all hosts can read (every process restores from
+        the same path)."""
         self._ckpt.wait_until_finished()  # at most one save in flight
         # Prune BEFORE starting the new async write, and only down to
         # ``keep`` — never keep-1: that would leave a window with zero

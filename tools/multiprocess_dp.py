@@ -137,6 +137,60 @@ def build_and_eval(n_global_devices: int):
     return tester.predict_voxels()
 
 
+def build_ckpt_phase(n_global_devices: int) -> int:
+    """Checkpoint save/restore under multi-process. EVERY process calls
+    ``CheckpointManager.save`` — orbax's AsyncCheckpointer opens with a
+    ``sync_global_processes`` barrier, so a process-0-only guard above it
+    deadlocks the job at the first snapshot (the round-3 review finding
+    this phase pins). Orbax writes payload bytes on the primary host
+    only; both processes then restore and must see identical state."""
+    import jax
+    import numpy as np
+
+    from ihpr_tpu.config import DataConfig, ModelConfig, OptimConfig, get_config
+    from ihpr_tpu.engine.checkpoint import CheckpointManager
+    from ihpr_tpu.models.pose_net import build_pose_net
+    from ihpr_tpu.parallel import create_train_state, make_mesh
+
+    cfg = get_config("h36m3d_r50").replace(
+        model=ModelConfig(resnet_type=18),
+        data=DataConfig(
+            trainset=("Human36M",),
+            input_shape=(64, 64),
+            output_shape=(16, 16),
+            depth_dim=16,
+        ),
+        optim=OptimConfig(batch_size_per_device=2),
+    )
+    model = build_pose_net(cfg)
+    mesh = make_mesh(n_global_devices)
+    state, _ = create_train_state(
+        model, cfg, jax.random.key(0), steps_per_epoch=1, mesh=mesh
+    )
+    ckpt_dir = "/tmp/mp_ckpt"
+    if jax.process_index() == 0:
+        import shutil
+
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("mp_ckpt_clean")
+    ckpt = CheckpointManager(ckpt_dir, keep=2)
+    ckpt.save(3, state, jax.random.key(5))
+    ckpt.wait()
+    restored, _, epoch = ckpt.load(3, state, jax.random.key(0))
+    assert epoch == 3, epoch
+    a = np.concatenate(
+        [np.ravel(x) for x in jax.tree.leaves(jax.device_get(state.params))]
+    )
+    b = np.concatenate(
+        [np.ravel(x) for x in jax.tree.leaves(jax.device_get(restored.params))]
+    )
+    np.testing.assert_array_equal(a, b)
+    return epoch
+
+
 def worker(pid: int):
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
@@ -159,6 +213,8 @@ def worker(pid: int):
     preds = build_and_eval(NPROC * LOCAL_DEVICES)
     np.save(f"/tmp/mp_eval_preds_{pid}.npy", preds)
     print(f"WORKER {pid} eval_done shape={preds.shape}", flush=True)
+    epoch = build_ckpt_phase(NPROC * LOCAL_DEVICES)
+    print(f"WORKER {pid} ckpt_done epoch={epoch}", flush=True)
 
 
 def main():
@@ -219,6 +275,12 @@ def main():
         "multiprocess_dp: PASS (2-process eval allgather == single-process, "
         f"{ref_preds.shape[0]} samples incl. padded final batch)"
     )
+
+    # Checkpoint phase: both workers must have completed the all-process
+    # orbax save + restore (a process-0-only save guard deadlocks here).
+    for p, out in zip(procs, outs):
+        assert "ckpt_done epoch=3" in out, f"worker {p} failed ckpt phase"
+    print("multiprocess_dp: PASS (2-process checkpoint save/restore)")
 
 
 if __name__ == "__main__":

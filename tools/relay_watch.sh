@@ -3,15 +3,36 @@
 # then run the staged real-TPU measurement queue (tools/tpu_queue.sh).
 # See CLAUDE.md "relay death" gotcha: nothing inside the container can
 # restart the relay; we can only poll and pounce.
+#
+# The probe is a python socket connect, NOT bash's /dev/tcp: /bin/sh is
+# dash on this host, where `(echo > /dev/tcp/...)` opens a literal path
+# and always fails — a watcher probing that way never fires (found in
+# review; verified against a live listener).
 cd "$(dirname "$0")/.."
+
+port_open() {
+    python - <<'EOF'
+import socket, sys
+try:
+    socket.create_connection(("127.0.0.1", 8082), timeout=2).close()
+except OSError:
+    sys.exit(1)
+EOF
+}
+
 echo "relay_watch: start $(date -u +%FT%TZ)"
+# The long accuracy items (q7/q8) are deadline-gated so an unattended
+# late-round launch can't contend with the driver's end-of-round bench;
+# manual runs of tpu_queue.sh default to no deadline.
+QUEUE_DEADLINE="${QUEUE_DEADLINE:-$(date -u -d '2026-08-18T17:30:00Z' +%s 2>/dev/null || echo 0)}"
+export QUEUE_DEADLINE
 while true; do
-    if (echo > /dev/tcp/127.0.0.1/8082) 2>/dev/null; then
+    if port_open; then
         echo "relay_watch: port 8082 OPEN $(date -u +%FT%TZ)"
         # Debounce: require it to stay open for 30 s before committing a
         # TPU client to it (a flapping relay mid-handshake can seat-lock).
         sleep 30
-        if (echo > /dev/tcp/127.0.0.1/8082) 2>/dev/null; then
+        if port_open; then
             echo "relay_watch: stable, launching queue $(date -u +%FT%TZ)"
             PYTHONUNBUFFERED=1 sh tools/tpu_queue.sh > /tmp/tpu_queue.log 2>&1
             echo "relay_watch: queue finished rc=$? $(date -u +%FT%TZ)"

@@ -43,11 +43,12 @@ echo "q5 rc=$?"
 timeout 3000 python bench.py > /tmp/q6_bench.json 2>/tmp/q6_bench.log
 echo "q6 rc=$?"
 
-# Items below are LONG accuracy runs. If the relay only came back late in
-# the round, skip them so the chip's seat is free when the driver runs its
-# end-of-round bench (two clients contend for the single tunnel seat).
-# Override: QUEUE_DEADLINE=<epoch-seconds> (0 = no deadline).
-DEADLINE="${QUEUE_DEADLINE:-$(date -u -d '2026-08-18T17:30:00Z' +%s)}"
+# Items below are LONG accuracy runs. An UNATTENDED launch (relay_watch
+# exports QUEUE_DEADLINE) skips them past the deadline so the chip's seat
+# is free when the driver runs its end-of-round bench (two clients
+# contend for the single tunnel seat). Manual runs have no deadline —
+# pass QUEUE_DEADLINE=<epoch-seconds> to set one (0 = none).
+DEADLINE="${QUEUE_DEADLINE:-0}"
 past_deadline() {
     [ "$DEADLINE" != 0 ] && [ "$(date -u +%s)" -ge "$DEADLINE" ]
 }
