@@ -35,8 +35,20 @@ while true; do
         if port_open; then
             echo "relay_watch: stable, launching queue $(date -u +%FT%TZ)"
             PYTHONUNBUFFERED=1 sh tools/tpu_queue.sh > /tmp/tpu_queue.log 2>&1
-            echo "relay_watch: queue finished rc=$? $(date -u +%FT%TZ)"
-            exit 0
+            rc=$?
+            echo "relay_watch: queue finished rc=$rc $(date -u +%FT%TZ)"
+            # rc != 0 means the seat probe failed (relay flapped mid-
+            # handshake or seat-locked): keep watching and retry, up to
+            # a cap so a permanently broken seat can't spawn clients
+            # forever (each retry is one clean-exiting probe client).
+            [ "$rc" = 0 ] && exit 0
+            attempts=$((${attempts:-0} + 1))
+            if [ "$attempts" -ge 5 ]; then
+                echo "relay_watch: giving up after $attempts failed queue starts"
+                exit 1
+            fi
+            sleep 300
+            continue
         fi
         echo "relay_watch: flapped closed again, keep waiting"
     fi
