@@ -65,9 +65,40 @@ def main():
     )
     with open(args.out, "wb") as f:
         f.write(blob)
+
+    # Metadata sidecar: everything a consumer needs to interpret the
+    # (B, J, 3) voxel coords without importing ihpr_tpu — joint identity
+    # and the volume->pixel/mm conversion constants (the math itself is
+    # geometry.warp_coord_to_original; formula restated here).
+    import json
+
+    skel = srv.skeleton
+    meta = {
+        "config": cfg.name,
+        "inputs": [
+            f"uint8 patches ({args.batch}, {cfg.data.input_shape[0]}, "
+            f"{cfg.data.input_shape[1]}, 3), RGB",
+            f"float32 color_scale ({args.batch}, 3) — ones for eval",
+        ],
+        "output": "float32 voxel coords (batch, joint_num, 3) as (x, y, z)",
+        "joint_names": list(skel.joints_name),
+        "flip_pairs": [list(p) for p in skel.flip_pairs],
+        "input_shape": list(cfg.data.input_shape),
+        "output_shape": list(cfg.data.output_shape),
+        "depth_dim": cfg.data.depth_dim,
+        "bbox_3d_shape_mm": list(cfg.data.bbox_3d_shape),
+        "flip_test_fused": bool(srv.flip_test),
+        "platforms": args.platforms.split(","),
+        "to_pixels": "px = voxel_xy * input_shape/output_shape, then apply "
+        "the inverse bbox affine; mm_z = (voxel_z/depth_dim - 0.5) * "
+        "bbox_3d_shape_mm[0] + root_z",
+    }
+    with open(args.out + ".json", "w") as f:
+        json.dump(meta, f, indent=1)
     print(
         f"wrote {args.out}: {len(blob) / 1e6:.1f} MB, batch {args.batch}, "
-        f"platforms {args.platforms}, flip_test {args.flip_test}"
+        f"platforms {args.platforms}, flip_test {srv.flip_test} "
+        f"(+ {args.out}.json metadata)"
     )
 
 
