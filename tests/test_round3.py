@@ -344,6 +344,36 @@ class TestHueSkeleton:
             )
         assert all("hue_idx" not in s for s in ds.samples)
 
+    def test_trainer_builds_unified_mixed_trainset(self, tmp_path):
+        # The CLI path end-to-end minus argparse: Trainer(datasets=None,
+        # data_root="synthetic") must build the mixed trainset itself and
+        # render secondary datasets in the primary skeleton's hue space.
+        import dataclasses
+
+        from ihpr_tpu.config import DataConfig, ModelConfig, OptimConfig, get_config
+        from ihpr_tpu.data import skeletons
+        from ihpr_tpu.engine.trainer import Trainer
+
+        cfg = get_config("h36m3d_r50").replace(
+            model=ModelConfig(resnet_type=18),
+            data=DataConfig(
+                trainset=("Human36M", "MPII"),
+                input_shape=(64, 64),
+                output_shape=(16, 16),
+                depth_dim=16,
+            ),
+            optim=OptimConfig(batch_size_per_device=2),
+            output_dir=str(tmp_path),
+        )
+        tr = Trainer(cfg, data_root="synthetic", num_workers=0, synthetic_size=16)
+        by_name = {d.name: d for d in tr.loader.datasets}
+        assert set(by_name) == {"Human36M", "MPII"}
+        assert all("hue_idx" not in s for s in by_name["Human36M"].samples)
+        h36m_index = {n: i for i, n in enumerate(skeletons.H36M.joints_name)}
+        for s in by_name["MPII"].samples:
+            for j, name in enumerate(skeletons.MPII.joints_name):
+                assert s["hue_idx"][j] == h36m_index[name]
+
     def test_materialize_key_covers_hue_idx(self, tmp_path):
         # Same joints, different hue space -> different pixels -> the JPEG
         # cache key must differ (the ADVICE-r2 stale-cache lesson).
