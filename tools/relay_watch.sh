@@ -23,8 +23,11 @@ EOF
 echo "relay_watch: start $(date -u +%FT%TZ)"
 # The long accuracy items (q7/q8) are deadline-gated so an unattended
 # late-round launch can't contend with the driver's end-of-round bench;
-# manual runs of tpu_queue.sh default to no deadline.
-QUEUE_DEADLINE="${QUEUE_DEADLINE:-$(date -u -d '2026-08-18T17:30:00Z' +%s 2>/dev/null || echo 0)}"
+# manual runs of tpu_queue.sh default to no deadline. Default: 9 h from
+# watcher start (a build round is ~12 h; leave headroom for the driver's
+# bench and any post-queue adoption re-measures). Override with an
+# explicit QUEUE_DEADLINE=<epoch-seconds> when the round end is known.
+QUEUE_DEADLINE="${QUEUE_DEADLINE:-$(( $(date -u +%s) + 32400 ))}"
 export QUEUE_DEADLINE
 while true; do
     if port_open; then
