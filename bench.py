@@ -60,6 +60,9 @@ def _device_init_watchdog(timeout_s: float = 600.0):
 
 
 def main():
+    from ihpr_tpu.utils.shutdown import install_graceful_shutdown
+
+    install_graceful_shutdown()
     watchdog = _device_init_watchdog()
     import jax
 

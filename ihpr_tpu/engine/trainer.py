@@ -174,6 +174,22 @@ class Trainer:
         log_every = 50
         import time as _time
 
+        try:
+            self._epoch_loop(end_epoch, profile_dir, profile_steps, sharding,
+                             global_batch, n_dev, log_every, _time)
+        finally:
+            # Drain the in-flight async snapshot on EVERY exit path —
+            # including the SIGTERM -> SystemExit unwind installed by the
+            # CLIs (utils/shutdown.py). Without this, interpreter shutdown
+            # races orbax's post-commit metadata write ("cannot schedule
+            # new futures after shutdown") and can leave the newest
+            # snapshot committed but metadata-less. A wedged wait is still
+            # bounded by the shutdown handler's hard-exit cap.
+            self.ckpt.wait()
+        return self.state
+
+    def _epoch_loop(self, end_epoch, profile_dir, profile_steps, sharding,
+                    global_batch, n_dev, log_every, _time):
         for epoch in range(self.start_epoch, end_epoch):
             epoch_rng = jax.random.fold_in(self.data_rng, epoch)
             it = prefetch_to_device(self.loader.epoch(epoch, self.max_steps), sharding)
@@ -219,5 +235,3 @@ class Trainer:
             ):
                 self.ckpt.save(epoch, self.state, self.data_rng)
                 self.logger.info(f"saving snapshot_{epoch} (async)")
-        self.ckpt.wait()
-        return self.state

@@ -99,6 +99,9 @@ def _torch_oracle_preds(cfg, loader, joint_num, params, batch_stats):
 
 
 def main():
+    from ihpr_tpu.utils.shutdown import install_graceful_shutdown
+
+    install_graceful_shutdown()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "--preset", choices=["tiny", "flagship", "r152"], default="tiny"

@@ -113,6 +113,9 @@ def measure(cfg, batches, iters=30, warmup=3):
 
 
 def main():
+    from ihpr_tpu.utils.shutdown import install_graceful_shutdown
+
+    install_graceful_shutdown()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--variants", default=",".join(VARIANTS))
     ap.add_argument("--iters", type=int, default=30)

@@ -29,6 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from ihpr_tpu.utils.shutdown import install_graceful_shutdown
+
+    install_graceful_shutdown()
     from ihpr_tpu.config import get_config
     from ihpr_tpu.data import skeletons
     from ihpr_tpu.data.datasets import (

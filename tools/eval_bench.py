@@ -31,6 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from ihpr_tpu.utils.shutdown import install_graceful_shutdown
+
+    install_graceful_shutdown()
     import jax
 
     from ihpr_tpu.config import get_config

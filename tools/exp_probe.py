@@ -98,6 +98,9 @@ def build(mode, dtype=jnp.float32):
 
 
 def main():
+    from ihpr_tpu.utils.shutdown import install_graceful_shutdown
+
+    install_graceful_shutdown()
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()

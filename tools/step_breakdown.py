@@ -46,6 +46,9 @@ def timeit(fn, args, iters=30, warmup=3, tag=""):
 
 
 def main():
+    from ihpr_tpu.utils.shutdown import install_graceful_shutdown
+
+    install_graceful_shutdown()
     import jax
     import jax.numpy as jnp
     import optax

@@ -26,6 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from ihpr_tpu.utils.shutdown import install_graceful_shutdown
+
+    install_graceful_shutdown()
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true", help="skip timing loops")
     args = ap.parse_args()

@@ -17,6 +17,9 @@ import argparse
 
 
 def main():
+    from ihpr_tpu.utils.shutdown import install_graceful_shutdown
+
+    install_graceful_shutdown()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="h36m3d_r50")
     ap.add_argument("--data_root", default=None, help="dataset root directory")
