@@ -279,3 +279,43 @@ def test_mixed_h36m_mpii_training(tiny_cfg):
     batch, _ = next(iter(prefetch_to_device(iter(batches[:1]), batch_sharding(mesh))))
     _, metrics = step(state, batch, jax.random.key(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_train_drains_checkpoint_on_abnormal_exit(tiny_cfg, tiny_data, tmp_path):
+    """Any exit from Trainer.train — including the SIGTERM -> SystemExit
+    unwind installed by the CLIs (utils/shutdown.py) — must drain the
+    in-flight async orbax snapshot, or interpreter shutdown races the
+    post-commit metadata write and can strand a metadata-less snapshot."""
+    import dataclasses
+
+    from ihpr_tpu.engine.trainer import Trainer
+
+    cfg = tiny_cfg.replace(
+        output_dir=str(tmp_path),
+        optim=dataclasses.replace(tiny_cfg.optim, end_epoch=3, snapshot_interval=1),
+    )
+    tr = Trainer(cfg, datasets=[tiny_data], num_workers=0)
+    tr.cap_steps_per_epoch(1)
+
+    drained = []
+    real_wait = tr.ckpt.wait
+    tr.ckpt.wait = lambda: (drained.append(True), real_wait())[1]
+
+    # Interrupt mid-epoch-1, right after epoch 0's async save was issued.
+    def exploding(fn):
+        def wrapped(state, batch, rng):
+            if int(state.step) >= 1:
+                raise SystemExit(143)  # what the SIGTERM handler raises
+            return fn(state, batch, rng)
+
+        return wrapped
+
+    tr.lean_step_fn = exploding(tr.lean_step_fn)
+    tr.step_fn = exploding(tr.step_fn)
+    with pytest.raises(SystemExit):
+        tr.train(end_epoch=3)
+    assert drained, "Trainer.train must call ckpt.wait() on abnormal exit"
+    # The drained snapshot is complete and restorable.
+    template = jax.tree.map(lambda x: x, tr.state)
+    _, _, epoch = tr.ckpt.load_latest(template, jax.random.key(9))
+    assert epoch == 0  # epoch 0's snapshot, committed + metadata complete
