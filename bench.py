@@ -59,10 +59,62 @@ def _device_init_watchdog(timeout_s: float = 600.0):
     return t
 
 
+def _wait_for_relay(max_wait_s: float) -> None:
+    """Poll the TPU tunnel relay port before touching PJRT.
+
+    The relay (localhost:8082, CLAUDE.md "relay death") can be down for
+    hours and is restored externally; a bench run that fails instantly is
+    worth nothing to the driver, so when the port is closed we wait — up
+    to ``max_wait_s`` (env ``IHPR_BENCH_RELAY_WAIT_S``, default 1800) —
+    and then attempt PJRT init REGARDLESS (the port number could change;
+    the init watchdog still bounds a genuine hang). No-op on non-axon
+    platforms (CPU/forced-platform runs never touch the relay).
+    """
+    import os
+    import socket
+
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "axon"):
+        return
+
+    def relay_open() -> bool:
+        try:
+            socket.create_connection(("127.0.0.1", 8082), timeout=2).close()
+            return True
+        except OSError:
+            return False
+
+    if relay_open():
+        return
+    deadline = time.monotonic() + max_wait_s
+    print(
+        f"bench: TPU tunnel relay port closed; polling up to {max_wait_s:.0f}s "
+        "for it to return",
+        file=sys.stderr,
+        flush=True,
+    )
+    while time.monotonic() < deadline:
+        time.sleep(15)
+        if relay_open():
+            print("bench: relay is back; proceeding", file=sys.stderr, flush=True)
+            # Fresh claims right after a relay restart have been observed
+            # to need a few seconds before PJRT handshakes cleanly.
+            time.sleep(5)
+            return
+    print(
+        "bench: relay still closed after the wait window; attempting PJRT "
+        "init anyway (watchdog will bound a hang)",
+        file=sys.stderr,
+        flush=True,
+    )
+
+
 def main():
+    import os
+
     from ihpr_tpu.utils.shutdown import install_graceful_shutdown
 
     install_graceful_shutdown()
+    _wait_for_relay(float(os.environ.get("IHPR_BENCH_RELAY_WAIT_S", "1800")))
     watchdog = _device_init_watchdog()
     import jax
 

@@ -126,6 +126,13 @@ class ParallelConfig:
     # Number of devices along the data axis; None = all visible devices.
     data_axis_size: Optional[int] = None
     data_axis_name: str = "data"
+    # Devices along the spatial axis (>1 shards each sample's IMAGE ROWS
+    # across chips — latency/memory scaling for one sample, the CNN analog
+    # of sequence parallelism; GSPMD inserts the conv halo exchanges).
+    # Spatial steps route the integral through the plain-XLA composition:
+    # pallas_call has no GSPMD partitioning rule (parallel/train_step.py).
+    spatial_axis_size: int = 1
+    spatial_axis_name: str = "spatial"
     # Donate input buffers to the train step (in-place param update).
     donate: bool = True
 

@@ -104,13 +104,9 @@ class PoseServer:
                 )
             # Spatial mode: heatmap forward (every op partitionable) +
             # plain-XLA soft-argmax — pallas_call has no GSPMD rule.
-            from ihpr_tpu.ops import soft_argmax_3d
-
-            hm = self.model.apply(vars_, img, train=False)
-            b2, hh, ww, _ = hm.shape
-            j, d = self.skeleton.joint_num, self.model.depth_dim
-            vol = hm.reshape(b2, hh, ww, j, d).transpose(0, 3, 4, 1, 2)
-            return soft_argmax_3d(vol)
+            return self.model.apply(
+                vars_, img, train=False, method=self.model.coords_plain
+            )
 
         if not self.flip_test:
             return infer(image)

@@ -101,8 +101,17 @@ class Tester:
         if dataset is None:
             dataset = build_dataset(cfg.data.testset, "test", cfg, data_root, synthetic_size)
         self.dataset = dataset
-        self.mesh = make_mesh(cfg.parallel.data_axis_size, cfg.parallel.data_axis_name)
-        n_dev = self.mesh.devices.size
+        self.mesh = make_mesh(
+            cfg.parallel.data_axis_size,
+            cfg.parallel.data_axis_name,
+            cfg.parallel.spatial_axis_size,
+            cfg.parallel.spatial_axis_name,
+        )
+        if cfg.parallel.spatial_axis_size > 1:
+            assert jax.process_count() == 1, (
+                "spatial partitioning is single-host (use DP across hosts)"
+            )
+        n_dev = self.mesh.shape[cfg.parallel.data_axis_name]
         self.loader = BatchLoader(
             [dataset],
             cfg,

@@ -63,8 +63,23 @@ class Trainer:
                 )
                 for i, name in enumerate(cfg.data.trainset)
             ]
-        self.mesh = make_mesh(cfg.parallel.data_axis_size, cfg.parallel.data_axis_name)
-        n_dev = self.mesh.devices.size
+        self.mesh = make_mesh(
+            cfg.parallel.data_axis_size,
+            cfg.parallel.data_axis_name,
+            cfg.parallel.spatial_axis_size,
+            cfg.parallel.spatial_axis_name,
+        )
+        if cfg.parallel.spatial_axis_size > 1:
+            # Spatially-sharded samples: the batch dim spans only the data
+            # axis. Multi-host spatial would need _batch_selection to track
+            # the 2-D device grid's process layout — unsupported until then.
+            assert jax.process_count() == 1, (
+                "spatial partitioning is single-host (use DP across hosts)"
+            )
+            assert cfg.data.input_shape[0] % cfg.parallel.spatial_axis_size == 0, (
+                cfg.data.input_shape, cfg.parallel.spatial_axis_size
+            )
+        n_dev = self.mesh.shape[cfg.parallel.data_axis_name]
         global_batch = cfg.optim.batch_size_per_device * n_dev
         self.loader = BatchLoader(
             datasets, cfg, global_batch, train=True, num_workers=num_workers, seed=cfg.seed
@@ -72,7 +87,7 @@ class Trainer:
         self.steps_per_epoch = len(self.loader)
         self.logger.info(
             f"train: {sum(len(d) for d in datasets)} samples "
-            f"({'+'.join(d.name for d in datasets)}), {n_dev} device(s), "
+            f"({'+'.join(d.name for d in datasets)}), mesh {dict(self.mesh.shape)}, "
             f"global batch {global_batch}, {self.steps_per_epoch} steps/epoch"
         )
 
@@ -162,8 +177,12 @@ class Trainer:
         profile viewable in XProf/TensorBoard)."""
         cfg = self.cfg
         end_epoch = end_epoch or cfg.optim.end_epoch
+        # img/s/chip divides by EVERY chip in the mesh; the batch dim spans
+        # only the data axis (== all chips unless spatial sharding is on).
         n_dev = self.mesh.devices.size
-        global_batch = cfg.optim.batch_size_per_device * n_dev
+        global_batch = (
+            cfg.optim.batch_size_per_device * self.mesh.shape[cfg.parallel.data_axis_name]
+        )
         sharding = batch_sharding(self.mesh)
 
         # Device execution is async (and on tunneled platforms

@@ -75,6 +75,22 @@ class PoseNet(nn.Module):
             feat, train, mode="coords", joint_num=self.joint_num, depth_dim=self.depth_dim
         )
 
+    def coords_plain(self, x, train: bool = False):
+        """``coords`` via the reference-shaped heatmap + plain-XLA
+        soft-argmax composition (no ``pallas_call``).
+
+        This is the path every GSPMD-partitioned axis must take:
+        ``pallas_call`` has no partitioning rule, so spatial sharding
+        (PoseServer(mesh=...), the 2-axis training mesh) and portable
+        StableHLO export route through here. Every op is partitionable;
+        XLA inserts the halo exchanges / reshards."""
+        from ihpr_tpu.ops import soft_argmax_3d
+
+        hm = self(x, train)
+        b, hh, ww, _ = hm.shape
+        vol = hm.reshape(b, hh, ww, self.joint_num, self.depth_dim)
+        return soft_argmax_3d(vol.transpose(0, 3, 4, 1, 2))
+
 
 def build_pose_net(
     cfg: Config, joint_num: int | None = None, mesh=None

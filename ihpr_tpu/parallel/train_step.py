@@ -116,6 +116,13 @@ def make_train_step(
     flip_perm = skeletons.get_skeleton(cfg.data.trainset[0]).flip_permutation()
     joint_num = len(flip_perm)
     depth_dim = cfg.data.depth_dim
+    # 2-axis mesh = spatial partitioning: each sample's image rows shard
+    # over the minor axis (GSPMD halo exchanges through every conv), so
+    # the step must take the plain-composition integral — pallas_call has
+    # no GSPMD partitioning rule. BN statistics stay global-batch either
+    # way (jit semantics are global; XLA partitions the reduces).
+    spatial = mesh is not None and len(mesh.axis_names) > 1
+    coords_method = model.coords_plain if spatial else model.coords
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
         if "patch" in batch:  # native host-warp fast path (pipeline.py)
@@ -141,15 +148,23 @@ def make_train_step(
                 train=True,
             )
 
+        image = patch.image
+        if spatial:
+            image = jax.lax.with_sharding_constraint(
+                image, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(*mesh.axis_names[:2])
+                )
+            )
+
         def loss_fn(params):
             # model.coords = fused final-conv + integral kernel: the logits
             # volume never materializes in HBM (ops/fused_head_integral.py).
             coords, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                patch.image,
+                image,
                 train=True,
                 mutable=["batch_stats"],
-                method=model.coords,
+                method=coords_method,
             )
             loss = joint_location_loss(
                 coords, patch.joint_img, patch.joint_vis, patch.joints_have_depth
@@ -203,13 +218,23 @@ def make_eval_step(model: PoseNet, cfg: Config, mesh=None) -> Callable:
     joint_num = len(flip_perm)
     depth_dim = cfg.data.depth_dim
     out_w = cfg.data.output_shape[1]
+    # Spatial mesh: plain-composition integral, rows sharded (see
+    # make_train_step's note).
+    spatial = mesh is not None and len(mesh.axis_names) > 1
+    coords_method = model.coords_plain if spatial else model.coords
 
     def infer(params, batch_stats, image):
+        if spatial:
+            image = jax.lax.with_sharding_constraint(
+                image, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(*mesh.axis_names[:2])
+                )
+            )
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             image,
             train=False,
-            method=model.coords,
+            method=coords_method,
         )
 
     def eval_step(params, batch_stats, batch: dict):
