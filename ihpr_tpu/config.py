@@ -133,6 +133,13 @@ class ParallelConfig:
     # pallas_call has no GSPMD partitioning rule (parallel/train_step.py).
     spatial_axis_size: int = 1
     spatial_axis_name: str = "spatial"
+    # ZeRO-1 analog: shard the Adam moments (mu/nu) over the data axis —
+    # each leaf splits along its largest divisible dim; GSPMD derives the
+    # reduce-scatter/all-gather. Off by default: this model's opt state is
+    # ~270 MB fp32, far under HBM, so the collectives buy nothing here —
+    # the knob exists for memory-bound variants (parallel/train_step.py:
+    # state_shardings; SURVEY §2 lists ZeRO as optional for the reference).
+    shard_opt_state: bool = False
     # Donate input buffers to the train step (in-place param update).
     donate: bool = True
 

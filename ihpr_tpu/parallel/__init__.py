@@ -9,6 +9,7 @@ program over DCN via ``jax.distributed.initialize``).
 
 from ihpr_tpu.parallel.mesh import (
     batch_sharding,
+    image_sharding,
     make_mesh,
     replicated_sharding,
     shard_host_batch,
@@ -18,10 +19,13 @@ from ihpr_tpu.parallel.train_step import (
     create_train_state,
     make_eval_step,
     make_train_step,
+    state_shardings,
 )
 
 __all__ = [
     "make_mesh",
+    "image_sharding",
+    "state_shardings",
     "batch_sharding",
     "replicated_sharding",
     "shard_host_batch",

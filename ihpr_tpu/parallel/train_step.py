@@ -65,6 +65,41 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
     return tx
 
 
+def state_shardings(state: TrainState, mesh, shard_opt_state: bool = False):
+    """TrainState-shaped pytree of NamedShardings.
+
+    Default: everything replicated (pure DP). ``shard_opt_state`` is the
+    ZeRO-1 analog — each Adam-moment leaf splits over the data axis along
+    its largest divisible dimension (scalars/indivisible leaves stay
+    replicated); params/batch_stats remain replicated and GSPMD derives
+    the grad reduce-scatter + param all-gather from the layout."""
+    rep = replicated_sharding(mesh)
+    if not shard_opt_state:
+        return jax.tree.map(lambda _: rep, state)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+
+    def opt_leaf(x):
+        shape = tuple(getattr(x, "shape", ()))
+        size = int(np.prod(shape)) if shape else 1
+        cands = [d for d, s in enumerate(shape) if s % n == 0 and s >= n]
+        if not cands or size < 1024:  # tiny leaves: collectives > savings
+            return rep
+        d = max(cands, key=lambda i: shape[i])
+        spec = [None] * len(shape)
+        spec[d] = axis
+        return NamedSharding(mesh, PartitionSpec(*spec))
+
+    return TrainState(
+        step=rep,
+        params=jax.tree.map(lambda _: rep, state.params),
+        batch_stats=jax.tree.map(lambda _: rep, state.batch_stats),
+        opt_state=jax.tree.map(opt_leaf, state.opt_state),
+    )
+
+
 def create_train_state(
     model: PoseNet,
     cfg: Config,
@@ -86,10 +121,12 @@ def create_train_state(
         opt_state=tx.init(params),
     )
     if mesh is not None:
-        # Land the state in the exact replicated layout the jitted step emits;
+        # Land the state in the exact layout the jitted step emits;
         # otherwise the second step sees different input shardings and
         # triggers a full recompile (~30s on this model).
-        state = jax.device_put(state, replicated_sharding(mesh))
+        state = jax.device_put(
+            state, state_shardings(state, mesh, cfg.parallel.shard_opt_state)
+        )
     return state, tx
 
 
@@ -202,10 +239,27 @@ def make_train_step(
         return jax.jit(step, donate_argnums=(0,) if donate else ())
     rep = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
+    st = rep
+    if cfg.parallel.shard_opt_state:
+        # Build the ZeRO layout from an eval_shape template (trace only,
+        # nothing materializes); must match create_train_state's placement
+        # or the first step recompiles.
+        def _init(r):
+            dummy = jnp.zeros((1, *cfg.data.input_shape, 3), jnp.float32)
+            v = model.init(r, dummy, train=False)
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=v["params"],
+                batch_stats=v["batch_stats"],
+                opt_state=tx.init(v["params"]),
+            )
+
+        template = jax.eval_shape(_init, jax.random.key(0))
+        st = state_shardings(template, mesh, True)
     return jax.jit(
         step,
-        in_shardings=(rep, bsh, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(st, bsh, rep),
+        out_shardings=(st, rep),
         donate_argnums=(0,) if donate else (),
     )
 

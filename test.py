@@ -34,6 +34,11 @@ def main():
         "(each process evaluates its row block; predictions are "
         "process_allgathered before the metric — engine/tester.py)",
     )
+    ap.add_argument(
+        "--spatial", type=int, default=None, metavar="N",
+        help="shard each sample's image rows over N chips "
+        "(2-axis (data, spatial) mesh; single-host)",
+    )
     args = ap.parse_args()
 
     if args.multihost:
@@ -47,6 +52,12 @@ def main():
     cfg = get_config(args.config)
     if args.output_dir:
         cfg = cfg.replace(output_dir=args.output_dir)
+    if args.spatial:
+        import dataclasses
+
+        cfg = cfg.replace(
+            parallel=dataclasses.replace(cfg.parallel, spatial_axis_size=args.spatial)
+        )
     data_root = "synthetic" if args.synthetic else args.data_root
 
     tester = Tester(

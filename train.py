@@ -42,6 +42,15 @@ def main():
         action="store_true",
         help="call jax.distributed.initialize() for multi-host DCN training",
     )
+    ap.add_argument(
+        "--spatial", type=int, default=None, metavar="N",
+        help="shard each sample's image rows over N chips "
+        "(2-axis (data, spatial) mesh; single-host)",
+    )
+    ap.add_argument(
+        "--shard_opt_state", action="store_true",
+        help="ZeRO-1 analog: shard Adam moments over the data axis",
+    )
     args = ap.parse_args()
 
     if args.multihost:
@@ -64,6 +73,15 @@ def main():
         if args.no_aug:
             kw["use_aug"] = False
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, **kw))
+    if args.spatial or args.shard_opt_state:
+        import dataclasses
+
+        kw = {}
+        if args.spatial:
+            kw["spatial_axis_size"] = args.spatial
+        if args.shard_opt_state:
+            kw["shard_opt_state"] = True
+        cfg = cfg.replace(parallel=dataclasses.replace(cfg.parallel, **kw))
     data_root = "synthetic" if args.synthetic else args.data_root
 
     trainer = Trainer(
