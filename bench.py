@@ -73,7 +73,11 @@ def _wait_for_relay(max_wait_s: float) -> None:
     import os
     import socket
 
+    # Only the tunneled-TPU platform has a relay; a plain CPU/GPU host
+    # (no axon plugin site) must not stall here for the wait window.
     if "cpu" in os.environ.get("JAX_PLATFORMS", "axon"):
+        return
+    if not os.path.exists(os.path.expanduser("~/.axon_site")):
         return
 
     def relay_open() -> bool:

@@ -111,6 +111,9 @@ class Tester:
             assert jax.process_count() == 1, (
                 "spatial partitioning is single-host (use DP across hosts)"
             )
+            assert cfg.data.input_shape[0] % cfg.parallel.spatial_axis_size == 0, (
+                cfg.data.input_shape, cfg.parallel.spatial_axis_size
+            )
         n_dev = self.mesh.shape[cfg.parallel.data_axis_name]
         self.loader = BatchLoader(
             [dataset],

@@ -79,6 +79,14 @@ class Trainer:
             assert cfg.data.input_shape[0] % cfg.parallel.spatial_axis_size == 0, (
                 cfg.data.input_shape, cfg.parallel.spatial_axis_size
             )
+        if cfg.parallel.shard_opt_state:
+            # CheckpointManager.save device_gets the full state; ZeRO leaves
+            # sharded across hosts are non-addressable there. Multi-host
+            # ZeRO needs distributed (per-shard) checkpointing first.
+            assert jax.process_count() == 1, (
+                "shard_opt_state is single-host (checkpoint save gathers "
+                "the full state to the host)"
+            )
         n_dev = self.mesh.shape[cfg.parallel.data_axis_name]
         global_batch = cfg.optim.batch_size_per_device * n_dev
         self.loader = BatchLoader(

@@ -37,9 +37,22 @@ def make_mesh(
             devices = devices[:data_axis_size]
         return Mesh(np.asarray(devices), (axis_name,))
     if data_axis_size is None:
+        # With no explicit data size, every device must be used: silently
+        # dropping the remainder (or worse, a 0-row grid when spatial >
+        # device count) surfaces only as a cryptic downstream error.
+        if len(devices) % spatial_axis_size:
+            raise ValueError(
+                f"spatial_axis_size={spatial_axis_size} does not divide the "
+                f"{len(devices)} visible devices; pass data_axis_size to use "
+                "a subset"
+            )
         data_axis_size = len(devices) // spatial_axis_size
     n = data_axis_size * spatial_axis_size
-    assert n <= len(devices), (data_axis_size, spatial_axis_size, len(devices))
+    if not 0 < n <= len(devices):
+        raise ValueError(
+            f"mesh {data_axis_size} x {spatial_axis_size} needs {n} devices; "
+            f"{len(devices)} visible"
+        )
     grid = np.asarray(devices[:n]).reshape(data_axis_size, spatial_axis_size)
     return Mesh(grid, (axis_name, spatial_axis_name))
 

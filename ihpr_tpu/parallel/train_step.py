@@ -33,7 +33,7 @@ from ihpr_tpu.models.pose_net import PoseNet
 from ihpr_tpu.ops import joint_location_loss
 from ihpr_tpu.ops.loss import joint_location_loss_components
 from ihpr_tpu.ops.integral_pallas import soft_argmax_from_heatmap
-from ihpr_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from ihpr_tpu.parallel.mesh import batch_sharding, image_sharding, replicated_sharding
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -100,6 +100,29 @@ def state_shardings(state: TrainState, mesh, shard_opt_state: bool = False):
     )
 
 
+def _init_state(
+    model: PoseNet,
+    cfg: Config,
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+    params: Any = None,
+    batch_stats: Any = None,
+) -> TrainState:
+    """The ONE place the TrainState tree is built — create_train_state
+    materializes it; make_train_step eval_shapes it for the ZeRO layout
+    (the two must agree leaf-for-leaf or the first step recompiles)."""
+    if params is None:
+        dummy = jnp.zeros((1, *cfg.data.input_shape, 3), jnp.float32)
+        variables = model.init(rng, dummy, train=False)
+        params, batch_stats = variables["params"], variables["batch_stats"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
 def create_train_state(
     model: PoseNet,
     cfg: Config,
@@ -109,17 +132,8 @@ def create_train_state(
     batch_stats: Any = None,
     mesh=None,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
-    if params is None:
-        dummy = jnp.zeros((1, *cfg.data.input_shape, 3), jnp.float32)
-        variables = model.init(rng, dummy, train=False)
-        params, batch_stats = variables["params"], variables["batch_stats"]
     tx = make_optimizer(cfg, steps_per_epoch)
-    state = TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        batch_stats=batch_stats,
-        opt_state=tx.init(params),
-    )
+    state = _init_state(model, cfg, tx, rng, params, batch_stats)
     if mesh is not None:
         # Land the state in the exact layout the jitted step emits;
         # otherwise the second step sees different input shardings and
@@ -187,11 +201,7 @@ def make_train_step(
 
         image = patch.image
         if spatial:
-            image = jax.lax.with_sharding_constraint(
-                image, jax.sharding.NamedSharding(
-                    mesh, jax.sharding.PartitionSpec(*mesh.axis_names[:2])
-                )
-            )
+            image = jax.lax.with_sharding_constraint(image, image_sharding(mesh))
 
         def loss_fn(params):
             # model.coords = fused final-conv + integral kernel: the logits
@@ -241,20 +251,11 @@ def make_train_step(
     bsh = batch_sharding(mesh)
     st = rep
     if cfg.parallel.shard_opt_state:
-        # Build the ZeRO layout from an eval_shape template (trace only,
-        # nothing materializes); must match create_train_state's placement
-        # or the first step recompiles.
-        def _init(r):
-            dummy = jnp.zeros((1, *cfg.data.input_shape, 3), jnp.float32)
-            v = model.init(r, dummy, train=False)
-            return TrainState(
-                step=jnp.zeros((), jnp.int32),
-                params=v["params"],
-                batch_stats=v["batch_stats"],
-                opt_state=tx.init(v["params"]),
-            )
-
-        template = jax.eval_shape(_init, jax.random.key(0))
+        # ZeRO layout from an eval_shape of the SAME tree-builder
+        # create_train_state uses (trace only, nothing materializes).
+        template = jax.eval_shape(
+            functools.partial(_init_state, model, cfg, tx), jax.random.key(0)
+        )
         st = state_shardings(template, mesh, True)
     return jax.jit(
         step,
@@ -279,11 +280,7 @@ def make_eval_step(model: PoseNet, cfg: Config, mesh=None) -> Callable:
 
     def infer(params, batch_stats, image):
         if spatial:
-            image = jax.lax.with_sharding_constraint(
-                image, jax.sharding.NamedSharding(
-                    mesh, jax.sharding.PartitionSpec(*mesh.axis_names[:2])
-                )
-            )
+            image = jax.lax.with_sharding_constraint(image, image_sharding(mesh))
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             image,

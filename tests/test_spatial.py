@@ -67,6 +67,13 @@ def test_make_mesh_spatial_shape():
     assert dict(m.shape) == {"data": 2, "spatial": 2}
     # 1-axis behavior unchanged
     assert dict(make_mesh(8).shape) == {"data": 8}
+    # invalid grids fail loudly, not as 0-device meshes / dropped chips
+    with pytest.raises(ValueError):
+        make_mesh(spatial_axis_size=16)  # > device count
+    with pytest.raises(ValueError):
+        make_mesh(spatial_axis_size=3)  # does not divide 8
+    with pytest.raises(ValueError):
+        make_mesh(4, spatial_axis_size=4)  # 16 devices needed, 8 visible
 
 
 def test_spatial_train_step_matches_unpartitioned(tiny_cfg, tiny_data):
