@@ -108,8 +108,12 @@ class Tester:
             cfg.parallel.spatial_axis_name,
         )
         if cfg.parallel.spatial_axis_size > 1:
-            assert jax.process_count() == 1, (
-                "spatial partitioning is single-host (use DP across hosts)"
+            # Same invariant as the Trainer: whole data rows per host (the
+            # eval allgather additionally relies on process-contiguous
+            # row blocks — pinned by tools/multiprocess_dp.py).
+            assert jax.local_device_count() % cfg.parallel.spatial_axis_size == 0, (
+                "spatial_axis_size must divide the per-host device count",
+                cfg.parallel.spatial_axis_size,
             )
             assert cfg.data.input_shape[0] % cfg.parallel.spatial_axis_size == 0, (
                 cfg.data.input_shape, cfg.parallel.spatial_axis_size

@@ -71,10 +71,16 @@ class Trainer:
         )
         if cfg.parallel.spatial_axis_size > 1:
             # Spatially-sharded samples: the batch dim spans only the data
-            # axis. Multi-host spatial would need _batch_selection to track
-            # the 2-D device grid's process layout — unsupported until then.
-            assert jax.process_count() == 1, (
-                "spatial partitioning is single-host (use DP across hosts)"
+            # axis. Multi-host works when the spatial axis divides each
+            # host's device count — the process-major (data, spatial) grid
+            # then gives every process WHOLE contiguous data rows, so
+            # _batch_selection's contiguous-block invariant holds (pinned
+            # by tools/multiprocess_dp.py's spatial phase).
+            assert jax.local_device_count() % cfg.parallel.spatial_axis_size == 0, (
+                "spatial_axis_size must divide the per-host device count "
+                f"({jax.local_device_count()}) so each host owns whole "
+                "data rows",
+                cfg.parallel.spatial_axis_size,
             )
             assert cfg.data.input_shape[0] % cfg.parallel.spatial_axis_size == 0, (
                 cfg.data.input_shape, cfg.parallel.spatial_axis_size
@@ -150,6 +156,15 @@ class Trainer:
         self.tx = make_optimizer(self.cfg, n)
         self.lr_sched = make_lr_schedule(self.cfg, n)
         self.state = self.state.replace(opt_state=self.tx.init(self.state.params))
+        # Re-establish the step's expected layout: tx.init inherits the
+        # (replicated) param sharding, which under shard_opt_state differs
+        # from the ZeRO layout the jitted step pins (no-op copy otherwise).
+        from ihpr_tpu.parallel.train_step import state_shardings
+
+        self.state = jax.device_put(
+            self.state,
+            state_shardings(self.state, self.mesh, self.cfg.parallel.shard_opt_state),
+        )
         self.step_fn = make_train_step(
             self.model, self.tx, self.cfg, self.mesh, donate=self.cfg.parallel.donate
         )

@@ -37,7 +37,7 @@ def main():
     ap.add_argument(
         "--spatial", type=int, default=None, metavar="N",
         help="shard each sample's image rows over N chips "
-        "(2-axis (data, spatial) mesh; single-host)",
+        "(2-axis (data, spatial) mesh; N must divide the per-host device count)",
     )
     args = ap.parse_args()
 

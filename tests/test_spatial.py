@@ -272,3 +272,26 @@ def test_zero_sharded_checkpoint_roundtrip(tiny_cfg, tiny_data, tmp_path):
         and not x.sharding.is_fully_replicated
     ]
     assert sharded, "post-resume step lost the ZeRO layout"
+
+
+def test_trainer_zero_wiring(tiny_cfg, tiny_data, tmp_path):
+    """Trainer end-to-end with shard_opt_state: cap_steps_per_epoch
+    re-inits the optimizer (inheriting replicated layout), so it must
+    re-place the state into the ZeRO layout the jitted step pins."""
+    cfg = tiny_cfg.replace(
+        output_dir=str(tmp_path),
+        parallel=dataclasses.replace(tiny_cfg.parallel, shard_opt_state=True),
+        optim=dataclasses.replace(tiny_cfg.optim, end_epoch=1),
+    )
+    from ihpr_tpu.engine.trainer import Trainer
+
+    tr = Trainer(cfg, datasets=[tiny_data], num_workers=0)
+    tr.cap_steps_per_epoch(1)
+    state = tr.train(end_epoch=1)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(state.params))
+    sharded = [
+        x for x in jax.tree.leaves(state.opt_state)
+        if hasattr(x, "sharding") and x.size >= 1024
+        and not x.sharding.is_fully_replicated
+    ]
+    assert sharded, "trained state lost the ZeRO layout"

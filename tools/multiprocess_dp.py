@@ -34,8 +34,14 @@ NPROC = 2
 LOCAL_DEVICES = 4
 
 
-def build_and_step(n_global_devices: int):
-    """Tiny-but-real config; returns the loss of one production step."""
+def build_and_step(n_global_devices: int, spatial: int = 1):
+    """Tiny-but-real config; returns the loss of one production step.
+
+    ``spatial > 1`` runs the 2-axis (data, spatial) mesh: each sample's
+    image rows shard over the spatial axis while the batch spans only the
+    data axis — under 2 processes this pins the multi-host-spatial
+    invariant (every process owns WHOLE contiguous data rows, so
+    _batch_selection's block layout matches the process-major grid)."""
     import jax
     import numpy as np
 
@@ -70,8 +76,8 @@ def build_and_step(n_global_devices: int):
         make_synthetic(skel, 4 * n_global_devices, seed=0, img_size=128),
         True,
     )
-    mesh = make_mesh(n_global_devices)
-    global_batch = cfg.optim.batch_size_per_device * n_global_devices
+    mesh = make_mesh(n_global_devices // spatial, spatial_axis_size=spatial)
+    global_batch = cfg.optim.batch_size_per_device * (n_global_devices // spatial)
     loader = BatchLoader([ds], cfg, global_batch, train=True, num_workers=0)
     model = build_pose_net(cfg)
     state, tx = create_train_state(model, cfg, jax.random.key(0), len(loader), mesh=mesh)
@@ -83,7 +89,7 @@ def build_and_step(n_global_devices: int):
     return loss
 
 
-def build_and_eval(n_global_devices: int):
+def build_and_eval(n_global_devices: int, spatial: int = 1):
     """Tester.predict_voxels over the same tiny config with a deterministic
     state -> (N, J, 3) voxel preds. Under 2 processes this executes the
     ``process_allgather`` branch (engine/tester.py) for real — the one
@@ -114,7 +120,11 @@ def build_and_eval(n_global_devices: int):
         output_dir="/tmp/mp_eval_out",
     )
     cfg = cfg.replace(
-        parallel=dataclasses.replace(cfg.parallel, data_axis_size=n_global_devices),
+        parallel=dataclasses.replace(
+            cfg.parallel,
+            data_axis_size=n_global_devices // spatial,
+            spatial_axis_size=spatial,
+        ),
         eval=dataclasses.replace(
             cfg.eval, batch_size_per_device=2, flip_test=True, dump_artifacts=False
         ),
@@ -129,7 +139,7 @@ def build_and_eval(n_global_devices: int):
     # Replicate the deterministic init state over the global mesh up front:
     # under multi-process, jit inputs must be global arrays (a process-local
     # committed array cannot be auto-resharded).
-    mesh = make_mesh(n_global_devices)
+    mesh = make_mesh(n_global_devices // spatial, spatial_axis_size=spatial)
     state, _ = create_train_state(
         model, cfg, jax.random.key(0), steps_per_epoch=1, mesh=mesh
     )
@@ -215,6 +225,13 @@ def worker(pid: int):
     print(f"WORKER {pid} eval_done shape={preds.shape}", flush=True)
     epoch = build_ckpt_phase(NPROC * LOCAL_DEVICES)
     print(f"WORKER {pid} ckpt_done epoch={epoch}", flush=True)
+    # Multi-host SPATIAL phases: (data=4, spatial=2) grid over 2 processes
+    # x 4 local devices — each process owns 2 whole data rows.
+    loss_sp = build_and_step(NPROC * LOCAL_DEVICES, spatial=2)
+    print(f"WORKER {pid} spatial_loss={loss_sp:.8f}", flush=True)
+    preds_sp = build_and_eval(NPROC * LOCAL_DEVICES, spatial=2)
+    np.save(f"/tmp/mp_eval_preds_sp_{pid}.npy", preds_sp)
+    print(f"WORKER {pid} spatial_eval_done shape={preds_sp.shape}", flush=True)
 
 
 def main():
@@ -284,6 +301,28 @@ def main():
     for p, out in zip(procs, outs):
         assert "ckpt_done epoch=3" in out, f"worker {p} failed ckpt phase"
     print("multiprocess_dp: PASS (2-process checkpoint save/restore)")
+
+    # Spatial phases: multi-host (data, spatial) training + eval must match
+    # the single-process run of the same grid (whole-data-rows-per-host
+    # invariant behind the Trainer/Tester local-divisibility guard).
+    sp_losses = {}
+    for p, out in zip(procs, outs):
+        m = re.search(r"WORKER (\d+) spatial_loss=([\d.eE+-]+)", out)
+        assert m, f"worker {p} skipped the spatial train phase"
+        sp_losses[int(m.group(1))] = float(m.group(2))
+        assert "spatial_eval_done" in out, f"worker {p} skipped spatial eval"
+    assert abs(sp_losses[0] - sp_losses[1]) < 1e-9, sp_losses
+    ref_sp = build_and_step(NPROC * LOCAL_DEVICES, spatial=2)
+    print(f"single-process spatial reference loss={ref_sp:.8f}")
+    assert abs(sp_losses[0] - ref_sp) < 1e-6, (sp_losses[0], ref_sp)
+    preds_sp = [np.load(f"/tmp/mp_eval_preds_sp_{p}.npy") for p in range(NPROC)]
+    assert np.array_equal(preds_sp[0], preds_sp[1]), "spatial eval preds differ"
+    ref_preds_sp = build_and_eval(NPROC * LOCAL_DEVICES, spatial=2)
+    np.testing.assert_allclose(preds_sp[0], ref_preds_sp, atol=1e-5)
+    print(
+        "multiprocess_dp: PASS (2-process dp4 x spatial2 train + eval == "
+        "single-process)"
+    )
 
 
 if __name__ == "__main__":
