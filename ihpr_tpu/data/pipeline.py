@@ -302,18 +302,31 @@ class BatchLoader:
             img_w = np.asarray([s["img_shape"][1] for s in ent_samples], np.float32)
 
             # --- batched aug sampling (reference get_aug_config dists) ---
+            # Draws cover the GLOBAL batch and each process slices its own
+            # rows: all hosts seed identically, so drawing only the local
+            # rows would hand every process the SAME values for different
+            # samples (aug entropy / process_count) and make the stream
+            # depend on the process layout. Single-process is unchanged
+            # (full slice, same consumption order); multi-process now
+            # augments exactly like the equivalent single-process run
+            # (pinned by tools/multiprocess_dp.py's aug-on spatial phase).
             rng = np.random.RandomState(
                 (self.seed * 1000003 + epoch_idx * 131071 + bi) % (2**31)
             )
+            import jax as _jax
+
+            gb = self.batch_size
+            lo = _jax.process_index() * (gb // _jax.process_count())
+            rows = slice(lo, lo + b)
             if self.train and d.use_aug:
-                scale = 1.0 + d.scale_factor * np.clip(rng.randn(b), -1, 1)
+                scale = (1.0 + d.scale_factor * np.clip(rng.randn(gb), -1, 1))[rows]
                 # reference: clip(randn,-2,2) * rot_factor (range +-2*rf)
-                rot = d.rot_factor * np.clip(rng.randn(b), -2, 2)
-                rot = np.where(rng.rand(b) <= d.rot_prob, rot, 0.0)
-                flips = (rng.rand(b) <= d.flip_prob).astype(np.int32)
+                rot_all = d.rot_factor * np.clip(rng.randn(gb), -2, 2)
+                rot = np.where(rng.rand(gb) <= d.rot_prob, rot_all, 0.0)[rows]
+                flips = (rng.rand(gb) <= d.flip_prob).astype(np.int32)[rows]
                 colors = rng.uniform(
-                    1 - d.color_factor, 1 + d.color_factor, (b, 3)
-                ).astype(np.float32)
+                    1 - d.color_factor, 1 + d.color_factor, (gb, 3)
+                ).astype(np.float32)[rows]
             else:
                 scale = np.ones(b)
                 rot = np.zeros(b)

@@ -34,14 +34,19 @@ NPROC = 2
 LOCAL_DEVICES = 4
 
 
-def build_and_step(n_global_devices: int, spatial: int = 1):
+def build_and_step(n_global_devices: int, spatial: int = 1, aug: bool = False):
     """Tiny-but-real config; returns the loss of one production step.
 
     ``spatial > 1`` runs the 2-axis (data, spatial) mesh: each sample's
     image rows shard over the spatial axis while the batch spans only the
     data axis — under 2 processes this pins the multi-host-spatial
     invariant (every process owns WHOLE contiguous data rows, so
-    _batch_selection's block layout matches the process-major grid)."""
+    _batch_selection's block layout matches the process-major grid).
+
+    ``aug=True`` turns the full host-warp augmentation on: the loader
+    draws aug for the GLOBAL batch and slices local rows, so a
+    multi-process run must equal the single-process run even with aug —
+    the pipeline.py layout-invariance fix this phase pins."""
     import jax
     import numpy as np
 
@@ -64,8 +69,7 @@ def build_and_step(n_global_devices: int, spatial: int = 1):
             input_shape=(64, 64),
             output_shape=(16, 16),
             depth_dim=16,
-            use_aug=False,  # keep the global batch bit-identical across
-            # process splits (per-sample aug draws depend on local order)
+            use_aug=aug,
         ),
         optim=OptimConfig(batch_size_per_device=2),
     )
@@ -226,8 +230,9 @@ def worker(pid: int):
     epoch = build_ckpt_phase(NPROC * LOCAL_DEVICES)
     print(f"WORKER {pid} ckpt_done epoch={epoch}", flush=True)
     # Multi-host SPATIAL phases: (data=4, spatial=2) grid over 2 processes
-    # x 4 local devices — each process owns 2 whole data rows.
-    loss_sp = build_and_step(NPROC * LOCAL_DEVICES, spatial=2)
+    # x 4 local devices — each process owns 2 whole data rows. aug=True
+    # additionally pins the global-draw aug stream (layout-invariant).
+    loss_sp = build_and_step(NPROC * LOCAL_DEVICES, spatial=2, aug=True)
     print(f"WORKER {pid} spatial_loss={loss_sp:.8f}", flush=True)
     preds_sp = build_and_eval(NPROC * LOCAL_DEVICES, spatial=2)
     np.save(f"/tmp/mp_eval_preds_sp_{pid}.npy", preds_sp)
@@ -312,7 +317,7 @@ def main():
         sp_losses[int(m.group(1))] = float(m.group(2))
         assert "spatial_eval_done" in out, f"worker {p} skipped spatial eval"
     assert abs(sp_losses[0] - sp_losses[1]) < 1e-9, sp_losses
-    ref_sp = build_and_step(NPROC * LOCAL_DEVICES, spatial=2)
+    ref_sp = build_and_step(NPROC * LOCAL_DEVICES, spatial=2, aug=True)
     print(f"single-process spatial reference loss={ref_sp:.8f}")
     assert abs(sp_losses[0] - ref_sp) < 1e-6, (sp_losses[0], ref_sp)
     preds_sp = [np.load(f"/tmp/mp_eval_preds_sp_{p}.npy") for p in range(NPROC)]
