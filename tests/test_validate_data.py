@@ -81,3 +81,45 @@ def test_mscoco_validator(coco_root):
     assert not rep.errors, rep.errors
     assert rep.stats["samples"] == 3
     assert rep.stats["crowd_filtered"] == 1
+
+
+def test_h36m_ragged_camera_reported_not_crash(h36m_root):
+    v = _import_validator()
+    cam_path = f"{h36m_root}/annotations/Human36M_subject9_camera.json"
+    with open(cam_path) as f:
+        cams = json.load(f)
+    cams["1"]["R"] = [[1, 0, 0], [0, 1], [0, 0, 1]]  # ragged
+    with open(cam_path, "w") as f:
+        json.dump(cams, f)
+    rep = v.validate_h36m(h36m_root, "test", protocol=2, check_images=0)
+    assert any("rectangular" in e and "'R'" in e for e in rep.errors), rep.errors
+
+
+def test_h36m_missing_id_reported_not_crash(h36m_root):
+    v = _import_validator()
+    path = f"{h36m_root}/annotations/Human36M_subject9_data.json"
+    with open(path) as f:
+        data = json.load(f)
+    del data["images"][0]["id"]
+    del data["images"][0]["action_idx"]  # force the flat-lookup fallback too
+    with open(path, "w") as f:
+        json.dump(data, f)
+    rep = v.validate_h36m(h36m_root, "test", protocol=2, check_images=0)
+    assert any("missing 'id'" in e for e in rep.errors), rep.errors
+
+
+def test_check_images_probes_spread_not_prefix(h36m_root, tmp_path):
+    """A tree whose LAST subject's images are missing must fail preflight
+    even when the probe count is smaller than the first subject's frames."""
+    v = _import_validator()
+    from ihpr_tpu.data.datasets import load_h36m
+
+    samples = load_h36m(h36m_root, "test", protocol=2, sampling=1)
+    # materialize image files for subject 9 only
+    for s in samples:
+        if "s9_" in os.path.basename(s["img_path"]):
+            os.makedirs(os.path.dirname(s["img_path"]), exist_ok=True)
+            open(s["img_path"], "wb").write(b"x")
+    rep = v.Report()
+    v._check_images(samples, 2, rep)  # 2 probes: spread hits S11 too
+    assert any("missing" in e for e in rep.errors), rep.errors

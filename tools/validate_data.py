@@ -62,16 +62,31 @@ def _load_json(path: str, rep: Report):
         return None
 
 
+def _arr(val, where: str, rep: Report):
+    """np.asarray that reports ragged/non-numeric content as a diagnostic
+    instead of crashing the validator with a raw numpy traceback."""
+    try:
+        return np.asarray(val, np.float64)
+    except (ValueError, TypeError) as e:
+        rep.error(f"{where}: not a rectangular numeric array ({e})")
+        return None
+
+
 def _check_images(samples, n: int, rep: Report):
-    if not n:
+    """Probe n image paths SPREAD across the sample list (not the first n:
+    H36M samples are subject-ordered, so a prefix probe would pass a tree
+    whose entire last subject is missing)."""
+    if not n or not samples:
         return
+    idx = np.unique(np.linspace(0, len(samples) - 1, min(n, len(samples))).astype(int))
     missing = [
-        s["img_path"] for s in samples[: max(n, 1)] if not os.path.exists(s["img_path"])
+        samples[i]["img_path"] for i in idx
+        if not os.path.exists(samples[i]["img_path"])
     ]
-    rep.stats["images_checked"] = min(n, len(samples))
+    rep.stats["images_checked"] = len(idx)
     if missing:
         rep.error(
-            f"{len(missing)}/{min(n, len(samples))} sampled image files missing "
+            f"{len(missing)}/{len(idx)} sampled image files missing "
             f"(first: {missing[0]}) — expected under <data_root>/images/"
         )
 
@@ -121,28 +136,31 @@ def validate_h36m(root: str, split: str, protocol: int, check_images: int) -> Re
             )
         else:
             for key, shape in (("R", (3, 3)), ("t", (3,)), ("f", (2,)), ("c", (2,))):
-                arr = np.asarray(cam.get(key, []), np.float64)
-                if arr.shape != shape:
+                arr = _arr(
+                    cam.get(key, []),
+                    f"{base}camera.json cam {img.get('cam_idx')} '{key}'",
+                    rep,
+                )
+                if arr is not None and arr.shape != shape:
                     rep.error(
-                        f"{base}camera.json cam {img['cam_idx']}: '{key}' shape "
+                        f"{base}camera.json cam {img.get('cam_idx')}: '{key}' shape "
                         f"{arr.shape} != {shape}"
                     )
         # joint_3d: nested {action}{subaction}{frame} or flat {image_id}
-        jw = None
         try:
             jw = j3d[str(img["action_idx"])][str(img["subaction_idx"])][
                 str(img["frame_idx"])
             ]
         except (KeyError, TypeError):
-            jw = j3d.get(str(img["id"]))
+            jw = j3d.get(str(img.get("id")))
         if jw is None:
             rep.error(
                 f"{base}joint_3d.json: no world joints for images[0] via "
                 "[action_idx][subaction_idx][frame_idx] nesting OR flat [image_id]"
             )
         else:
-            arr = np.asarray(jw, np.float64)
-            if arr.shape not in ((17, 3), (18, 3)):
+            arr = _arr(jw, f"{base}joint_3d.json images[0] joints", rep)
+            if arr is not None and arr.shape not in ((17, 3), (18, 3)):
                 rep.error(
                     f"{base}joint_3d.json: joints shape {arr.shape}, expected "
                     "(17, 3) (Thorax is synthesized) or (18, 3)"
@@ -170,17 +188,20 @@ def validate_h36m(root: str, split: str, protocol: int, check_images: int) -> Re
 def _validate_coco_format(
     path: str, joint_num: int, check_images: int, rep: Report, loader, *args
 ):
+    """Shared COCO-format checks. Returns the parsed json (or None) so the
+    dataset-specific wrappers can inspect it WITHOUT re-parsing a
+    possibly-hundreds-of-MB annotation file."""
     data = _load_json(path, rep)
     if data is None:
-        return rep
+        return None
     for key in ("images", "annotations"):
         if key not in data:
             rep.error(f"{path}: missing top-level '{key}' list")
     anns = data.get("annotations", [])
     if anns:
         ann = anns[0]
-        kp = np.asarray(ann.get("keypoints", []), np.float64)
-        if kp.size != joint_num * 3:
+        kp = _arr(ann.get("keypoints", []), f"{path} annotations[0] keypoints", rep)
+        if kp is not None and kp.size != joint_num * 3:
             rep.error(
                 f"{path} annotations[0]: keypoints length {kp.size} != "
                 f"{joint_num}*3 (x, y, vis triplets)"
@@ -190,14 +211,14 @@ def _validate_coco_format(
     else:
         rep.error(f"{path}: empty annotations list")
     if rep.errors:
-        return rep
+        return data
     samples = loader(*args)
     rep.stats["samples"] = len(samples)
     if not samples:
         rep.error("loader returned 0 samples (all invisible/crowd-filtered?)")
-        return rep
+        return data
     _check_images(samples, check_images, rep)
-    return rep
+    return data
 
 
 def validate_mpii(root: str, split: str, check_images: int) -> Report:
@@ -205,10 +226,10 @@ def validate_mpii(root: str, split: str, check_images: int) -> Report:
 
     rep = Report()
     path = os.path.join(root, "annotations", f"{split}.json")
-    _validate_coco_format(path, 16, check_images, rep, load_mpii, root, split)
-    if not rep.errors:
-        data = _load_json(path, rep)
-        if data and data["annotations"] and "head_box" not in data["annotations"][0]:
+    data = _validate_coco_format(path, 16, check_images, rep, load_mpii, root, split)
+    if data and not rep.errors:
+        anns = data.get("annotations", [])
+        if anns and "head_box" not in anns[0]:
             rep.warn(
                 "annotations carry no head_box: PCKh will use the Head-Neck "
                 "segment approximation instead of the official SC_BIAS "
@@ -222,25 +243,27 @@ def validate_mscoco(root: str, split: str, check_images: int) -> Report:
 
     rep = Report()
     path = os.path.join(root, "annotations", f"person_keypoints_{split}.json")
-    rep2 = _validate_coco_format(
-        path, 17, check_images, rep, load_mscoco, root, split
-    )
-    data = _load_json(path, rep) if not rep.errors else None
+    data = _validate_coco_format(path, 17, check_images, rep, load_mscoco, root, split)
     if data:
-        n_crowd = sum(int(a.get("iscrowd", 0)) for a in data["annotations"])
+        n_crowd = sum(int(a.get("iscrowd", 0)) for a in data.get("annotations", []))
         rep.stats["crowd_filtered"] = n_crowd
-    return rep2
+    return rep
 
 
 def main():
+    from ihpr_tpu.utils.shutdown import install_graceful_shutdown
+
+    install_graceful_shutdown()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dataset", required=True, choices=["Human36M", "MPII", "MSCOCO"])
     ap.add_argument("--data_root", required=True)
     ap.add_argument("--split", default=None, help="default: train (H36M/MPII), "
                     "train2017 (MSCOCO)")
-    ap.add_argument("--protocol", type=int, default=2, help="H36M protocol")
+    ap.add_argument("--protocol", type=int, default=2, choices=[1, 2],
+                    help="H36M protocol")
     ap.add_argument("--check_images", type=int, default=16,
-                    help="sample this many image files for existence (0 = skip)")
+                    help="probe this many image files spread across the "
+                    "sample list for existence (0 = skip)")
     args = ap.parse_args()
 
     if args.dataset == "Human36M":
