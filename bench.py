@@ -151,7 +151,9 @@ def main():
     )
     loader = BatchLoader([ds], cfg, batch, train=True, num_workers=8)
     mesh = make_mesh()
-    model = build_pose_net(cfg)
+    # Pass the mesh: on >1 chip the fused head+integral kernel launches
+    # per-shard via shard_map (single-chip meshes skip it — same program).
+    model = build_pose_net(cfg, mesh=mesh)
     state, tx = create_train_state(model, cfg, jax.random.key(0), len(loader), mesh=mesh)
     # Production step exactly as the Trainer runs it between log points:
     # donated state (cfg.parallel.donate default) + loss-only metrics.

@@ -36,9 +36,11 @@ class ModelConfig:
     # XLA matmul/conv precision for fp32 operands (None = platform
     # default). On TPU the default quantizes fp32 conv inputs to bf16 on
     # the MXU (~0.25 voxel coordinate shift vs true fp32); "highest" makes
-    # fp32 mean fp32 — the parity configs set it. Applied process-globally
-    # by Trainer/Tester/PoseServer (jax_default_matmul_precision); the
-    # Pallas kernels pin their own precision from operand dtype.
+    # fp32 mean fp32 — the parity configs set it. Threaded PER-CALL into
+    # every model conv/einsum (build_pose_net -> PoseNet.matmul_precision),
+    # so configs never leak precision into each other through process
+    # state; the Pallas kernels and the tiny coordinate contractions
+    # (integral._expectation, data/warp.py) pin their own precision.
     matmul_precision: Optional[str] = None  # None | "default" | "highest"
     # Emit heatmap logits in fp32 (default: the volumetric softmax is
     # precision-sensitive; bf16 logits shift coords ~0.02 voxel = ~0.6 mm
@@ -264,31 +266,17 @@ def get_config(name: str) -> Config:
 
 
 def apply_matmul_precision(cfg: Config) -> None:
-    """Install cfg.model.matmul_precision as the process-wide default.
-    Called by Trainer/Tester/PoseServer so CLI users of the parity configs
-    get true-fp32 arithmetic without extra flags.
+    """DEPRECATED no-op shim (round 4). cfg.model.matmul_precision is now
+    threaded per-call through the model (build_pose_net ->
+    PoseNet.matmul_precision -> every conv/einsum), so the old process-
+    global jax_default_matmul_precision mutation — and its trap, where a
+    config constructed after a 'highest' config silently inherited
+    'highest' — is gone. Kept only so external callers don't break."""
+    import warnings
 
-    ``None`` means "leave the ambient process setting alone" — it is NOT
-    "reset to platform default". This is deliberate: callers that set the
-    global themselves (e.g. tools/accuracy_loop.py) can mix None-precision
-    configs under their own setting. Consequence: in one process, a config
-    constructed AFTER a 'highest' config inherits 'highest' unless it
-    names its own precision — set matmul_precision='default' explicitly to
-    force platform default. The Pallas kernels are unaffected either way
-    (they pin precision from operand dtype)."""
-    if cfg.model.matmul_precision:
-        import jax
-
-        prev = jax.config.jax_default_matmul_precision
-        if prev is not None and prev != cfg.model.matmul_precision:
-            import logging
-
-            logging.getLogger("ihpr").warning(
-                "overriding process-wide jax_default_matmul_precision "
-                f"{prev!r} -> {cfg.model.matmul_precision!r} (config "
-                f"{cfg.name!r}); later None-precision configs in this "
-                "process inherit the new setting"
-            )
-        jax.config.update(
-            "jax_default_matmul_precision", cfg.model.matmul_precision
-        )
+    warnings.warn(
+        "apply_matmul_precision is a no-op: matmul precision is threaded "
+        "per-call through the model (PoseNet.matmul_precision)",
+        DeprecationWarning,
+        stacklevel=2,
+    )

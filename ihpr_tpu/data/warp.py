@@ -168,9 +168,16 @@ def trans_point2d_np(pt: np.ndarray, trans: np.ndarray) -> np.ndarray:
 
 def trans_point2d(pt: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:
     """Apply (..., 2, 3) affine to (..., 2) points. Reference:
-    pose_utils.trans_point2d."""
+    pose_utils.trans_point2d. HIGHEST precision: joint-label coordinates
+    must not quantize to bf16 on the MXU (tiny contraction, exactness is
+    the parity contract)."""
     ones = jnp.ones(pt.shape[:-1] + (1,), pt.dtype)
-    return jnp.einsum("...ij,...j->...i", trans, jnp.concatenate([pt, ones], -1))
+    return jnp.einsum(
+        "...ij,...j->...i",
+        trans,
+        jnp.concatenate([pt, ones], -1),
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def affine_warp_bilinear(
@@ -198,7 +205,12 @@ def affine_warp_bilinear(
     ys = jnp.arange(out_h, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, ys)  # (out_h, out_w)
     grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # (oh, ow, 3)
-    src = jnp.einsum("bij,hwj->bhwi", inv_trans, grid)  # (B, oh, ow, 2)
+    # HIGHEST: sampling coordinates drive the gather; bf16 quantization
+    # would shift sampled pixels ~1e-2 px (6 flops/px — cost is nil).
+    src = jnp.einsum(
+        "bij,hwj->bhwi", inv_trans, grid,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, oh, ow, 2)
     sx, sy = src[..., 0], src[..., 1]
 
     # One (2, 2, C) slice-gather per output pixel instead of four scalar

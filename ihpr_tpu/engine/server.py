@@ -57,9 +57,8 @@ class PoseServer:
         pallas partitioning rule); coordinates are identical (tested on
         the virtual CPU mesh). in_h must be divisible by the mesh size."""
         self.cfg = cfg
-        from ihpr_tpu.config import apply_matmul_precision
-
-        apply_matmul_precision(cfg)
+        # cfg.model.matmul_precision is threaded per-call through the
+        # model (build_pose_net) — no process-global precision mutation.
         self.skeleton = skeletons.get_skeleton(cfg.data.testset)
         self.model: PoseNet = build_pose_net(cfg, self.skeleton.joint_num)
         self.params = params

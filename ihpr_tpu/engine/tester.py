@@ -94,9 +94,8 @@ class Tester:
         synthetic_size: int = 128,
     ):
         self.cfg = cfg
-        from ihpr_tpu.config import apply_matmul_precision
-
-        apply_matmul_precision(cfg)
+        # cfg.model.matmul_precision is threaded per-call through the
+        # model (build_pose_net) — no process-global precision mutation.
         self.logger = colorlogger(f"{cfg.output_dir}/log", "test_logs.txt")
         if dataset is None:
             dataset = build_dataset(cfg.data.testset, "test", cfg, data_root, synthetic_size)
@@ -126,7 +125,7 @@ class Tester:
             train=False,
             num_workers=num_workers,
         )
-        self.model = build_pose_net(cfg, dataset.joint_num)
+        self.model = build_pose_net(cfg, dataset.joint_num, mesh=self.mesh)
         if state is None:
             template, _ = create_train_state(
                 self.model, cfg, jax.random.key(0), steps_per_epoch=1

@@ -39,9 +39,8 @@ class Trainer:
         synthetic_size: int = 512,
     ):
         self.cfg = cfg
-        from ihpr_tpu.config import apply_matmul_precision
-
-        apply_matmul_precision(cfg)
+        # cfg.model.matmul_precision is threaded per-call through the
+        # model (build_pose_net) — no process-global precision mutation.
         self.logger = colorlogger(f"{cfg.output_dir}/log", "train_logs.txt")
 
         if datasets is None:

@@ -103,6 +103,13 @@ class DeconvHead(nn.Module):
     compute_dtype: Any = jnp.float32
     fp32_logits: bool = True
     bn_mode: str = "flax"
+    # Device mesh whose first axis row-shards the batch: mode='coords'
+    # launches the fused kernel per-shard under shard_map (GSPMD has no
+    # pallas_call partitioning rule). None = single-device launch.
+    mesh: Any = None
+    # Per-call matmul precision for the deconvs + plain final conv (None =
+    # ambient default). The fused kernel pins precision from dtype itself.
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, mode: str = "logits", joint_num=None, depth_dim=None):
@@ -125,6 +132,7 @@ class DeconvHead(nn.Module):
                 kernel_init=init,
                 dtype=self.compute_dtype,
                 param_dtype=jnp.float32,
+                precision=self.precision,
                 name=f"deconv{i + 1}",
             )(x)
             x = _BN(self.compute_dtype, self.bn_mode, name=f"bn{i + 1}")(x, train)
@@ -137,10 +145,13 @@ class DeconvHead(nn.Module):
             from ihpr_tpu.ops.fused_head_integral import fused_final_conv_integral
 
             return fused_final_conv_integral(
-                x, k2d, bias.astype(self.compute_dtype), joint_num, depth_dim
+                x, k2d, bias.astype(self.compute_dtype), joint_num, depth_dim,
+                mesh=self.mesh,
             )
         # plain logits: the 1x1 conv is exactly x @ k + b
-        x = jnp.einsum("bhwc,co->bhwo", x, k2d) + bias.astype(self.compute_dtype)
+        x = jnp.einsum(
+            "bhwc,co->bhwo", x, k2d, precision=self.precision
+        ) + bias.astype(self.compute_dtype)
         # Heatmap logits in fp32 by default: the volumetric softmax is
         # precision-sensitive and the cast is free relative to the convs.
         # fp32_logits=False keeps them in compute_dtype (halves the fused

@@ -34,10 +34,18 @@ class PoseNet(nn.Module):
     block_remat: bool = False
     remat_policy: str = "full"
     fused_1x1: bool = False
-    # Mesh for fused_1x1's shard_map launch under data parallelism; the
-    # statistics psum makes it sync-BN like the unfused GSPMD path. None =
-    # single-device launch (or GSPMD fallback when unset under a mesh).
+    # Mesh for the shard_map kernel launches under data parallelism:
+    # the head's fused final-conv+integral always uses it (per-sample
+    # kernel, no collectives needed); the backbone's fused_1x1 matmul+BN
+    # additionally psums statistics (sync-BN like the unfused GSPMD
+    # path). None = single-device launch (or the plain GSPMD-partitionable
+    # composition when unset under a mesh).
     mesh: Any = None
+    # Per-call matmul precision threaded into every conv/einsum (None =
+    # ambient default; 'highest' = true-fp32 parity configs). Replaces the
+    # old process-global jax_default_matmul_precision mutation — configs
+    # no longer leak precision into each other within one process.
+    matmul_precision: Any = None
 
     def setup(self):
         self.backbone = ResNetBackbone(
@@ -49,6 +57,7 @@ class PoseNet(nn.Module):
             self.remat_policy,
             self.fused_1x1,
             self.mesh,
+            precision=self.matmul_precision,
         )
         self.head = DeconvHead(
             self.joint_num * self.depth_dim,
@@ -58,6 +67,8 @@ class PoseNet(nn.Module):
             self.compute_dtype,
             self.fp32_logits,
             self.bn_mode,
+            mesh=self.mesh,
+            precision=self.matmul_precision,
         )
 
     def __call__(self, x, train: bool = False):
@@ -97,9 +108,11 @@ def build_pose_net(
 ) -> PoseNet:
     """Reference: ``main/model.py:get_pose_net``.
 
-    ``mesh``: pass the training mesh when ``cfg.model.fused_1x1`` so the
-    fused kernel launches per-shard (shard_map) instead of tripping
-    GSPMD's missing pallas partitioning rule; ignored otherwise."""
+    ``mesh``: pass the training/eval mesh so every Pallas kernel in the
+    ``coords`` path (the fused final-conv+integral, and the backbone's
+    fused 1x1 matmul+BN when ``cfg.model.fused_1x1``) launches per-shard
+    via shard_map instead of tripping GSPMD's missing pallas_call
+    partitioning rule."""
     if joint_num is None:
         joint_num = cfg.joint_num
     return PoseNet(
@@ -116,7 +129,8 @@ def build_pose_net(
         block_remat=cfg.model.block_remat,
         remat_policy=cfg.model.remat_policy,
         fused_1x1=cfg.model.fused_1x1,
-        mesh=mesh if cfg.model.fused_1x1 else None,
+        mesh=mesh,
+        matmul_precision=cfg.model.matmul_precision,
     )
 
 

@@ -166,7 +166,7 @@ class _BN(nn.Module):
         )(x)
 
 
-def _conv(features: int, kernel: int, stride: int, dtype, name=None):
+def _conv(features: int, kernel: int, stride: int, dtype, name=None, precision=None):
     conv = nn.Conv(
         features,
         (kernel, kernel),
@@ -175,6 +175,7 @@ def _conv(features: int, kernel: int, stride: int, dtype, name=None):
         use_bias=False,
         dtype=dtype,
         param_dtype=jnp.float32,
+        precision=precision,
         name=name,
     )
 
@@ -196,17 +197,21 @@ class BasicBlock(nn.Module):
     bn_mode: str = "flax"
     fused_1x1: bool = False  # no 1x1 convs to fuse; accepted for symmetry
     mesh: Any = None  # likewise symmetry-only
+    # Per-call matmul precision (None = ambient default); 'highest' makes
+    # fp32 configs true-fp32 without mutating process-global jax config.
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
-        y = _conv(self.features, 3, self.stride, self.dtype, name="conv1")(x)
+        p = self.precision
+        y = _conv(self.features, 3, self.stride, self.dtype, name="conv1", precision=p)(x)
         y = _BN(self.dtype, self.bn_mode, name="bn1")(y, train)
         y = nn.relu(y)
-        y = _conv(self.features, 3, 1, self.dtype, name="conv2")(y)
+        y = _conv(self.features, 3, 1, self.dtype, name="conv2", precision=p)(y)
         y = _BN(self.dtype, self.bn_mode, name="bn2")(y, train)
         if residual.shape != y.shape:
-            residual = _conv(self.features, 1, self.stride, self.dtype, name="down_conv")(x)
+            residual = _conv(self.features, 1, self.stride, self.dtype, name="down_conv", precision=p)(x)
             residual = _BN(self.dtype, self.bn_mode, name="down_bn")(residual, train)
         return nn.relu(y + residual)
 
@@ -288,6 +293,9 @@ class Bottleneck(nn.Module):
     # runs per-shard under shard_map with psummed statistics (sync-BN).
     # None = single-device launch.
     mesh: Any = None
+    # Per-call matmul precision (None = ambient default). The fused-1x1
+    # Pallas path pins precision from operand dtype itself.
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -303,17 +311,18 @@ class Bottleneck(nn.Module):
             ):
                 return self._fused_call(x, train)
         residual = x
-        y = _conv(self.features, 1, 1, self.dtype, name="conv1")(x)
+        p = self.precision
+        y = _conv(self.features, 1, 1, self.dtype, name="conv1", precision=p)(x)
         y = _BN(self.dtype, self.bn_mode, name="bn1")(y, train)
         y = nn.relu(y)
         # v1.5: stride on the 3x3 (torchvision semantics -> weight parity)
-        y = _conv(self.features, 3, self.stride, self.dtype, name="conv2")(y)
+        y = _conv(self.features, 3, self.stride, self.dtype, name="conv2", precision=p)(y)
         y = _BN(self.dtype, self.bn_mode, name="bn2")(y, train)
         y = nn.relu(y)
-        y = _conv(self.features * 4, 1, 1, self.dtype, name="conv3")(y)
+        y = _conv(self.features * 4, 1, 1, self.dtype, name="conv3", precision=p)(y)
         y = _BN(self.dtype, self.bn_mode, name="bn3")(y, train)
         if residual.shape != y.shape:
-            residual = _conv(self.features * 4, 1, self.stride, self.dtype, name="down_conv")(x)
+            residual = _conv(self.features * 4, 1, self.stride, self.dtype, name="down_conv", precision=p)(x)
             residual = _BN(self.dtype, self.bn_mode, name="down_bn")(residual, train)
         return nn.relu(y + residual)
 
@@ -336,7 +345,7 @@ class Bottleneck(nn.Module):
         mul1, add1 = _SumBN(name="bn1")(s1_1, s2_1, float(x2.shape[0]))
         a1 = jnp.maximum(y1 * mul1.astype(dt) + add1.astype(dt), 0)
         a1 = a1.reshape(b, h, w_sp, e)
-        c2 = _conv(e, 3, self.stride, dt, name="conv2")(a1)
+        c2 = _conv(e, 3, self.stride, dt, name="conv2", precision=self.precision)(a1)
         bb, h2, w2, _ = c2.shape
         m2 = bb * h2 * w2
         c2f = c2.astype(jnp.float32).reshape(m2, e)
@@ -350,7 +359,7 @@ class Bottleneck(nn.Module):
         mul3, add3 = _SumBN(name="bn3")(s1_3, s2_3, float(m2))
         y3 = (y3 * mul3.astype(dt) + add3.astype(dt)).reshape(bb, h2, w2, e * 4)
         if residual.shape != y3.shape:
-            residual = _conv(e * 4, 1, self.stride, dt, name="down_conv")(x)
+            residual = _conv(e * 4, 1, self.stride, dt, name="down_conv", precision=self.precision)(x)
             residual = _BN(dt, self.bn_mode, name="down_bn")(residual, train)
         return nn.relu(y3 + residual)
 
@@ -386,6 +395,10 @@ class ResNetBackbone(nn.Module):
     # Mesh for the fused kernel's shard_map launch under data parallelism
     # (statistics psummed to sync-BN); None = single-device.
     mesh: Any = None
+    # Per-call matmul precision for every conv (None = ambient default).
+    # 'highest' gives true-fp32 arithmetic WITHOUT mutating the process-
+    # wide jax_default_matmul_precision (round-3 advisor finding).
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -421,6 +434,7 @@ class ResNetBackbone(nn.Module):
                 use_bias=False,
                 dtype=self.compute_dtype,
                 param_dtype=jnp.float32,
+                precision=self.precision,
                 name="conv1",
             )(x)
         else:
@@ -432,6 +446,7 @@ class ResNetBackbone(nn.Module):
                 use_bias=False,
                 dtype=self.compute_dtype,
                 param_dtype=jnp.float32,
+                precision=self.precision,
                 name="conv1",
             )(x)
         x = _BN(self.compute_dtype, self.bn_mode, name="bn1")(x, train)
@@ -447,6 +462,7 @@ class ResNetBackbone(nn.Module):
                     self.bn_mode,
                     fused_1x1=self.fused_1x1,
                     mesh=self.mesh,
+                    precision=self.precision,
                     name=f"layer{stage + 1}_{i}",
                 )(x, train)
         return x

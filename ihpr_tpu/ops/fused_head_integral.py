@@ -37,11 +37,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ihpr_tpu.ops.integral_pallas import (
+    _PAD_VALUE,
     _SEG_LANES,
     _chunk_rows,
     _dv_from_rows,
     _interpret,
     _online_stats_tail,
+    _padded_joint_num,
     _segment_matrix,
     _supported,
     fold_bwd_rows,
@@ -53,6 +55,38 @@ def fused_supported(joint_num: int, depth_dim: int, hw: int, channels: int) -> b
         _supported(joint_num, depth_dim, hw)
         and channels % 128 == 0
         and (_chunk_rows(hw, joint_num * depth_dim) or 0) % 8 == 0
+    )
+
+
+def _pad_plan(joint_num: int, depth_dim: int, hw: int, channels: int) -> int | None:
+    """Fused-launch plan: the padded joint count J' >= J to run the kernel
+    at (J itself when J*D is already lane-aligned), or None when no legal
+    tiling exists (callers fall back). Mirrors ``_dispatch``'s volume
+    padding, applied to the final-conv WEIGHTS instead: padded output
+    lanes get zero kernel columns and a ``_PAD_VALUE`` bias, so their
+    logits sit far below every real lane (never win the shared max, s=0,
+    p=0 in the backward) and the padded coords slice off outside the
+    custom_vjp — autodiff through pad/slice is JAX's."""
+    if fused_supported(joint_num, depth_dim, hw, channels):
+        return joint_num
+    j2 = _padded_joint_num(joint_num, depth_dim, hw)
+    # Padding beyond 2x the real joints wastes more than the fusion saves.
+    if (
+        j2 is not None
+        and j2 <= 2 * joint_num
+        and fused_supported(j2, depth_dim, hw, channels)
+    ):
+        return j2
+    return None
+
+
+def _pad_weights(kernel, bias, joint_num: int, j2: int, depth_dim: int):
+    if j2 == joint_num:
+        return kernel, bias
+    pad = (j2 - joint_num) * depth_dim
+    return (
+        jnp.pad(kernel, ((0, 0), (0, pad))),
+        jnp.pad(bias, (0, pad), constant_values=_PAD_VALUE),
     )
 
 
@@ -315,17 +349,52 @@ def _fused_bwd(joint_num, depth_dim, h, w, base2, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _sharded_fused(feat, wmat, bias, joint_num, depth_dim, h, w, base2, mesh, ax):
+    """Per-shard kernel launch over the mesh's data axis.
+
+    GSPMD has no partitioning rule for ``pallas_call``: inside a jit whose
+    batch is sharded over ``ax``, a bare ``_fused`` call would force an
+    all-gather of the (B, H*W, C) head features around the custom call —
+    exactly the HBM traffic the fusion exists to avoid — or fail to
+    partition. The kernel is purely per-sample (no cross-batch statistics),
+    so a ``shard_map`` over the batch rows is exact: each device runs the
+    Mosaic kernel on its local (B/n, H*W, C) shard with the tiny conv
+    weights replicated. Gradients flow through the shard_map transpose
+    (dfeat stays row-sharded; the replicated-weight cotangents dW/db are
+    psummed by the transpose — same machinery DP8-equivalence-tested for
+    ops/matmul_bn.py). check_vma=False because pallas_call outputs carry
+    no varying-mesh-axes annotation."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(f, wm, b_):
+        return _fused(f, wm, b_, joint_num, depth_dim, h, w, base2)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(ax, None, None), P(None, None), P(None)),
+        out_specs=P(ax, None, None),
+        check_vma=False,
+    )(feat, wmat, bias)
+
+
 def fused_final_conv_integral(
     features: jax.Array,
     kernel: jax.Array,
     bias: jax.Array,
     joint_num: int,
     depth_dim: int,
+    mesh=None,
 ) -> jax.Array:
     """(B, H, W, C) head features + (C, J*D) final-conv weights ->
     (B, J, 3) voxel coords, with the logits volume never materialized.
 
-    Falls back to conv-then-dispatch when the shapes have no legal tiling.
+    ``mesh``: a multi-device 1-axis ``jax.sharding.Mesh`` launches the
+    kernel per-shard over the batch rows via ``shard_map``
+    (see _sharded_fused); multi-device meshes with no legal per-shard
+    launch fall back to the fully-plain composition (every op GSPMD-
+    partitionable). Single-device / no-mesh falls back to
+    conv-then-dispatch when the shapes have no legal tiling.
     """
     b, h, w, c = features.shape
     jd = kernel.shape[-1]
@@ -333,10 +402,41 @@ def fused_final_conv_integral(
     feat = features.reshape(b, h * w, c)
     from ihpr_tpu.ops.integral_pallas import _use_pallas
 
-    if _use_pallas() and fused_supported(joint_num, depth_dim, h * w, c):
-        return _fused(
-            feat, kernel, bias, joint_num, depth_dim, h, w, _use_exp2()
+    j2 = _pad_plan(joint_num, depth_dim, h * w, c) if _use_pallas() else None
+    if mesh is not None and mesh.size > 1:
+        ax = mesh.axis_names[0]
+        if (
+            len(mesh.axis_names) == 1
+            and j2 is not None
+            and b % mesh.shape[ax] == 0
+        ):
+            k2, b2 = _pad_weights(kernel, bias, joint_num, j2, depth_dim)
+            coords = _sharded_fused(
+                feat, k2, b2, j2, depth_dim, h, w, _use_exp2(), mesh, ax
+            )
+            return coords[:, :joint_num]
+        # Multi-device but no legal per-shard launch (2-axis mesh, odd
+        # batch, unsupported tiling): the fully-plain composition —
+        # _dispatch would route back into pallas_call and trip the same
+        # missing GSPMD rule this branch exists to avoid.
+        from ihpr_tpu.ops import integral
+
+        logits = (
+            jnp.dot(
+                feat,
+                kernel,
+                preferred_element_type=jnp.float32,
+                precision=_dot_precision(feat.dtype),
+            )
+            + bias.astype(jnp.float32)
         )
+        vol = logits.reshape(b, h * w, joint_num, depth_dim).transpose(0, 2, 3, 1)
+        return integral.soft_argmax_3d(vol.reshape(b, joint_num, depth_dim, h, w))
+
+    if j2 is not None:
+        k2, b2 = _pad_weights(kernel, bias, joint_num, j2, depth_dim)
+        coords = _fused(feat, k2, b2, j2, depth_dim, h, w, _use_exp2())
+        return coords[:, :joint_num]
     from ihpr_tpu.ops.integral_pallas import _dispatch
 
     # Same precision rule as the fused kernel so IHPR_PALLAS=off triage

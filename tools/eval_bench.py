@@ -52,7 +52,7 @@ def main():
     cfg = get_config("h36m3d_r50")
     n_chips = len(jax.devices())
     mesh = make_mesh()
-    model = build_pose_net(cfg)
+    model = build_pose_net(cfg, mesh=mesh)
     state, tx = create_train_state(model, cfg, jax.random.key(0), 10, mesh=mesh)
     sharding = batch_sharding(mesh)
     skel = skeletons.H36M
@@ -126,6 +126,34 @@ def main():
     print(
         f"[train incl. input pipeline, B={B}, {host_cores} host core(s)] "
         f"{dt * 1e3:.1f} ms/step = {B / dt / n_chips:.0f} img/s/chip",
+        flush=True,
+    )
+
+    # ---- 3. the same loader ALONE (identical process/content/epoch
+    # machinery, no device work): separates the host pipeline leg from
+    # dispatch/python overhead in phase 2, so the combined number
+    # reconciles against the standalone warp_bench claim by measurement
+    # (round-3 saw 319.7 ms/step combined vs a 125 ms/batch standalone
+    # host leg — this phase pins where the remainder lives).
+    n_l = 0
+    t0 = time.perf_counter()
+    for batch in loader.epoch(3):
+        n_l += 1
+    dt_l = (time.perf_counter() - t0) / n_l
+    print(
+        f"[loader alone, same process, B={B}] {dt_l * 1e3:.1f} ms/batch",
+        flush=True,
+    )
+
+    # ---- 4. loader + device_put only (adds the H2D staging the prefetch
+    # wrapper performs, still no train step).
+    n_p = 0
+    t0 = time.perf_counter()
+    for batch, _ in prefetch_to_device(loader.epoch(4), sharding):
+        n_p += 1
+    dt_p = (time.perf_counter() - t0) / n_p
+    print(
+        f"[loader + prefetch device_put, B={B}] {dt_p * 1e3:.1f} ms/batch",
         flush=True,
     )
 

@@ -62,7 +62,7 @@ def main():
     )
     loader = BatchLoader([ds], cfg, batch, train=True, num_workers=8)
     mesh = make_mesh()
-    model = build_pose_net(cfg)
+    model = build_pose_net(cfg, mesh=mesh)
     state0, tx = create_train_state(model, cfg, jax.random.key(0), len(loader), mesh=mesh)
     # donate=False: every variant re-runs from the same state/batches.
     step = make_train_step(model, tx, cfg, mesh, donate=False, lean=True)

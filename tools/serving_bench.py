@@ -98,6 +98,44 @@ def main():
         f"{sustained:.1f} img/s (flip-test on => 2x forward work/img)"
     )
 
+    # --- 2b. CHIP-SIDE sustained throughput (transport-independent) ------
+    # VERDICT r3 task 5: the phases above charge the tunnel's upload leg
+    # to the measurement (content-sensitive, ~100-300 img/s). For the
+    # device-side figure, pre-stage ONE patch chunk on device and chain
+    # the server's exact jitted program (same flip-test 2B dispatch) so
+    # each dispatch consumes the previous result — the bench.py
+    # methodology: nothing returns to the host until one final pull.
+    dev_patches = jnp.asarray(patches)
+    dev_ones = jnp.ones((max_batch, 3), np.float32)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(4,))
+    def chained(params, bstats, patch_u8, ones, prev):
+        # Data dependence on the previous coords (adds exact-zero to the
+        # color scale) forces sequential execution through the chain.
+        eps = jnp.sum(prev[:1, :1, :1]) * 0.0
+        return server._forward(params, bstats, patch_u8, ones + eps)
+
+    prev = chained(
+        server.params, server.batch_stats, dev_patches, dev_ones,
+        jnp.zeros((max_batch, skel.joint_num, 3), np.float32),
+    )
+    _ = np.asarray(prev)  # compile + settle
+    chain_iters = 50
+    t0 = time.perf_counter()
+    for _ in range(chain_iters):
+        prev = chained(
+            server.params, server.batch_stats, dev_patches, dev_ones, prev
+        )
+    _ = float(prev.sum())  # ONE pull forces the chain
+    dt = time.perf_counter() - t0
+    chip_side = chain_iters * max_batch / dt
+    print(
+        f"chip-side sustained (device-resident patches, chained): "
+        f"{chip_side:.1f} img/s (flip-test on => 2x forward work/img)"
+    )
+
     # --- 3. same stream including the native warp preprocessing ----------
     from ihpr_tpu.data import native
 
@@ -120,6 +158,29 @@ def main():
         warp_row = n_imgs / dt
         print(
             f"sustained incl. native warp (1 host core): {warp_row:.1f} img/s"
+        )
+
+        # --- 3a. control: SAME rendered content, NO per-chunk warp -------
+        # (round-3 advisor): phases 2 vs 3 differ in patch content AND
+        # per-chunk host work, so neither isolates the tunnel's content
+        # sensitivity. This phase streams the identical rendered patches
+        # with only the phase-2 .copy() per chunk — the (2 vs 3a) delta is
+        # pure content, the (3a vs 3) delta is pure warp cost.
+        warped0 = native.warp_batch(
+            src, invs, np.zeros(max_batch, np.int32), in_h, in_w
+        )
+        handles = []
+        t0 = time.perf_counter()
+        for i in range(n_chunks):
+            chunk = warped0.copy()
+            handles.append(server.submit_patches(chunk))
+        total = float(jnp.stack([h.sum() for h in handles]).sum())
+        dt = time.perf_counter() - t0
+        assert np.isfinite(total)
+        content_row = n_imgs / dt
+        print(
+            f"sustained rendered content, no per-chunk warp (control): "
+            f"{content_row:.1f} img/s"
         )
 
     # --- 3b. exported StableHLO artifact vs the live server --------------
@@ -169,8 +230,12 @@ def main():
         "request_latency_ms": round(lat_ms, 1),
         "pipelined_req_per_s": round(stream_rps, 2),
         "sustained_img_per_s": round(sustained, 1),
+        "chip_side_sustained_img_per_s": round(chip_side, 1),
         "sustained_incl_warp_img_per_s": (
             None if warp_row is None else round(warp_row, 1)
+        ),
+        "sustained_rendered_no_warp_img_per_s": (
+            None if warp_row is None else round(content_row, 1)
         ),
         "sustained_artifact_img_per_s": (
             None if artifact_row is None else round(artifact_row, 1)

@@ -83,7 +83,7 @@ def main():
     ds = PoseDataset("Human36M", skel, make_synthetic(skel, 2 * B, seed=0, img_size=320), True)
     loader = BatchLoader([ds], cfg, B, train=True, num_workers=4)
     mesh = make_mesh()
-    model = build_pose_net(cfg)
+    model = build_pose_net(cfg, mesh=mesh)
     state, tx = create_train_state(model, cfg, jax.random.key(0), len(loader), mesh=mesh)
     step = make_train_step(model, tx, cfg, mesh, donate=False)
     batch = next(iter(prefetch_to_device(loader.epoch(0), batch_sharding(mesh))))[0]
