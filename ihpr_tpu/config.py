@@ -72,6 +72,14 @@ class ModelConfig:
     # kernel then launches per-shard via shard_map with psummed
     # statistics (sync-BN, matching the unfused GSPMD path).
     fused_1x1: bool = False
+    # Fuse the Bottleneck 3x3 mid-conv with the bn1-apply+ReLU prologue
+    # and the bn2-statistics epilogue (train-mode Pallas conv kernel,
+    # ops/conv_bn.py): the conv1->conv2 activation never exists in HBM
+    # and bn2's statistics cost no extra pass. Stride-1 blocks with
+    # tileable planes AND >=256 channels only (the measured-profitable
+    # region, tools/conv_bn_probe.py: R50 stages 3-4 win, stage 2
+    # loses); single-device only for now.
+    fused_conv3: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

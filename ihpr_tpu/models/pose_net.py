@@ -34,6 +34,7 @@ class PoseNet(nn.Module):
     block_remat: bool = False
     remat_policy: str = "full"
     fused_1x1: bool = False
+    fused_conv3: bool = False
     # Mesh for the shard_map kernel launches under data parallelism:
     # the head's fused final-conv+integral always uses it (per-sample
     # kernel, no collectives needed); the backbone's fused_1x1 matmul+BN
@@ -56,6 +57,7 @@ class PoseNet(nn.Module):
             self.block_remat,
             self.remat_policy,
             self.fused_1x1,
+            self.fused_conv3,
             self.mesh,
             precision=self.matmul_precision,
         )
@@ -129,6 +131,7 @@ def build_pose_net(
         block_remat=cfg.model.block_remat,
         remat_policy=cfg.model.remat_policy,
         fused_1x1=cfg.model.fused_1x1,
+        fused_conv3=cfg.model.fused_conv3,
         mesh=mesh,
         matmul_precision=cfg.model.matmul_precision,
     )

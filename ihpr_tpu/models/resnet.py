@@ -196,6 +196,7 @@ class BasicBlock(nn.Module):
     dtype: Any
     bn_mode: str = "flax"
     fused_1x1: bool = False  # no 1x1 convs to fuse; accepted for symmetry
+    fused_conv3: bool = False  # likewise symmetry-only (basic blocks stay XLA)
     mesh: Any = None  # likewise symmetry-only
     # Per-call matmul precision (None = ambient default); 'highest' makes
     # fp32 configs true-fp32 without mutating process-global jax config.
@@ -230,6 +231,23 @@ class _Conv1x1Param(nn.Module):
             "kernel",
             nn.initializers.lecun_normal(),
             (1, 1, cin, self.features),
+            jnp.float32,
+        )
+
+
+class _Conv3x3Param(nn.Module):
+    """Bare kernel parameter for a 3x3 conv consumed by the fused
+    conv+BN kernel (ops/conv_bn.py); path/shape/init match
+    ``nn.Conv(features, (3,3), use_bias=False)``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features),
             jnp.float32,
         )
 
@@ -289,6 +307,14 @@ class Bottleneck(nn.Module):
     dtype: Any
     bn_mode: str = "flax"
     fused_1x1: bool = False
+    # Fuse the 3x3 mid-conv with the bn1-apply+ReLU prologue and the
+    # bn2-statistics epilogue (ops/conv_bn.py): the conv1->conv2
+    # activation never exists in HBM and bn2's statistics cost no extra
+    # pass. Train-only, stride-1 blocks with tileable planes in the
+    # measured-profitable >=256-channel region (conv_bn.profitable);
+    # others fall through to the plain path. Single-device only for now
+    # (the kernel has no shard_map launch yet).
+    fused_conv3: bool = False
     # Device mesh whose first axis row-shards the batch: the fused kernel
     # runs per-shard under shard_map with psummed statistics (sync-BN).
     # None = single-device launch.
@@ -299,6 +325,17 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.fused_conv3 and train and self.stride == 1 and (
+            self.mesh is None or self.mesh.size == 1
+        ):
+            from ihpr_tpu.ops import conv_bn
+
+            b, h, w_sp, _ = x.shape
+            e = self.features
+            if conv_bn.profitable(e, e) and conv_bn.supported(
+                b, h, w_sp, e, e, 1, jnp.dtype(self.dtype).itemsize
+            ):
+                return self._fused3_call(x, train)
         if self.fused_1x1 and train:
             from ihpr_tpu.ops import matmul_bn
 
@@ -363,6 +400,40 @@ class Bottleneck(nn.Module):
             residual = _BN(dt, self.bn_mode, name="down_bn")(residual, train)
         return nn.relu(y3 + residual)
 
+    def _fused3_call(self, x, train: bool):
+        """Fused-3x3 train path (ops/conv_bn.py): conv2 runs as a Pallas
+        conv with the bn1-apply+ReLU prologue and the bn2-statistics
+        epilogue, so the conv1->conv2 activation never materializes in
+        HBM (fwd or bwd) and bn2's statistics need no extra pass over
+        conv2's output. conv1/conv3 stay XLA (1x1 matmuls) with bn1's
+        statistics summed in fp32 from conv1's output — XLA fuses those
+        sums into the matmul's epilogue. Identical parameter tree to the
+        plain path (bn1/bn2 via _SumBN share _BN's inner scope name);
+        eval always takes the unfused path (running statistics)."""
+        from ihpr_tpu.ops.conv_bn import fused_conv3x3_bn
+
+        residual = x
+        b, h, w_sp, cin = x.shape
+        e = self.features
+        dt = self.dtype
+        p = self.precision
+        c1 = _conv(e, 1, 1, dt, name="conv1", precision=p)(x)
+        m1 = float(b * h * w_sp)
+        c1f = c1.astype(jnp.float32)
+        mul1, add1 = _SumBN(name="bn1")(
+            jnp.sum(c1f, axis=(0, 1, 2)), jnp.sum(c1f * c1f, axis=(0, 1, 2)), m1
+        )
+        w2 = _Conv3x3Param(e, name="conv2")(e)
+        c2, s1_2, s2_2 = fused_conv3x3_bn(c1, w2, mul1, add1)
+        mul2, add2 = _SumBN(name="bn2")(s1_2, s2_2, m1)
+        a2 = jnp.maximum(c2 * mul2.astype(dt) + add2.astype(dt), 0)
+        y = _conv(e * 4, 1, 1, dt, name="conv3", precision=p)(a2)
+        y = _BN(dt, self.bn_mode, name="bn3")(y, train)
+        if residual.shape != y.shape:
+            residual = _conv(e * 4, 1, self.stride, dt, name="down_conv", precision=p)(x)
+            residual = _BN(dt, self.bn_mode, name="down_bn")(residual, train)
+        return nn.relu(y + residual)
+
 
 class ResNetBackbone(nn.Module):
     """(B, H, W, 3) image -> (B, H/32, W/32, C) feature map.
@@ -392,6 +463,9 @@ class ResNetBackbone(nn.Module):
     # Fuse Bottleneck 1x1 convs with BN statistics (train-mode Pallas
     # kernel, ops/matmul_bn.py); see ModelConfig.fused_1x1.
     fused_1x1: bool = False
+    # Fuse Bottleneck 3x3 mid-convs with the bn1-apply+ReLU prologue and
+    # bn2-statistics epilogue (ops/conv_bn.py); see ModelConfig.fused_conv3.
+    fused_conv3: bool = False
     # Mesh for the fused kernel's shard_map launch under data parallelism
     # (statistics psummed to sync-BN); None = single-device.
     mesh: Any = None
@@ -461,6 +535,7 @@ class ResNetBackbone(nn.Module):
                     self.compute_dtype,
                     self.bn_mode,
                     fused_1x1=self.fused_1x1,
+                    fused_conv3=self.fused_conv3,
                     mesh=self.mesh,
                     precision=self.precision,
                     name=f"layer{stage + 1}_{i}",

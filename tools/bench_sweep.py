@@ -105,6 +105,13 @@ def main():
         "s2d128": lambda: (with_bs(with_model(base, s2d_stem=True), 128), False),
         "base256": lambda: (with_bs(base, 256), False),
         "lean128_donate": lambda: (with_bs(base, 128), True, True),
+        # In-situ A/B for the fused 3x3-conv+BN kernel (ops/conv_bn.py):
+        # identical to lean128_donate (= the bench.py production step)
+        # except stage-3/4 stride-1 mid-convs run fused. Gate measured in
+        # tools/conv_bn_probe.py; compare against lean128_donate.
+        "fused3_lean128_donate": lambda: (
+            with_bs(with_model(base, fused_conv3=True), 128), True, True,
+        ),
         "lean256_donate": lambda: (with_bs(base, 256), True, True),
         "s2d_lean128_donate": lambda: (with_bs(with_model(base, s2d_stem=True), 128), True, True),
     }
