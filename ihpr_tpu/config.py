@@ -75,10 +75,11 @@ class ModelConfig:
     # Fuse the Bottleneck 3x3 mid-conv with the bn1-apply+ReLU prologue
     # and the bn2-statistics epilogue (train-mode Pallas conv kernel,
     # ops/conv_bn.py): the conv1->conv2 activation never exists in HBM
-    # and bn2's statistics cost no extra pass. Stride-1 blocks with
-    # tileable planes AND >=256 channels only (the measured-profitable
-    # region, tools/conv_bn_probe.py: R50 stages 3-4 win, stage 2
-    # loses); single-device only for now.
+    # and bn2's statistics cost no extra pass. MEASURED OUT in situ
+    # (round 4, tools/bench_sweep.py): the fused full step runs 94.75 vs
+    # 92.89 ms/step — XLA's conv fusions win; kept off in production,
+    # available as a measurement mode (stride-1 tileable >=256-ch blocks,
+    # single-device).
     fused_conv3: bool = False
 
 

@@ -90,14 +90,20 @@ def supported(
 
 
 def profitable(c: int, n: int) -> bool:
-    """Measured in-situ gate (tools/conv_bn_probe.py on the real chip,
-    B=128 R50@256 shapes, 2026-08-19): at the 256-channel stage-3 shape
-    the fused kernel wins fwd+bwd 2.45x with the prologue (1.41x plain,
-    3.10x plain fwd); at the 128-channel stage-2 shape it LOSES (0.85x
-    fwdbwd, 0.63x prologue fwd) — XLA's conv already runs ~74 TFLOP/s
-    there and the kernel's 9-tap shifted-matmul overhead dominates at
-    the shallower channel depth. Fuse only where the measurement pays.
-    Override for probing: IHPR_CONV3_MIN_CH (default 256)."""
+    """Channel-depth gate for the fused path, measured on the real chip
+    (2026-08-19). The standalone probe (tools/conv_bn_probe.py) showed
+    the 128-channel stage-2 shape losing consistently and the
+    256-channel stage-3 shape winning in SOME runs (fwd up to 3.1x) but
+    with large run-to-run variance in XLA's own conv timing on this
+    tunnel. The decisive in-situ A/B (tools/bench_sweep.py
+    fused3_lean128_donate vs lean128_donate, same process, 30 chained
+    steps) measured the FUSED full train step SLOWER: 94.75 vs 92.89
+    ms/step (-2%) — the same verdict as matmul_bn's fused_1x1: pulling
+    convs out of XLA's fusion pipeline costs more than the saved BN
+    stats passes, and the custom VJP saves y as an extra residual.
+    Production default is therefore fused_conv3=False; the gate only
+    shapes which blocks fuse when the knob is turned on for measurement.
+    Override: IHPR_CONV3_MIN_CH (default 256)."""
     import os
 
     min_ch = int(os.environ.get("IHPR_CONV3_MIN_CH", "256"))
