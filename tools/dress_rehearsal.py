@@ -1,31 +1,26 @@
 #!/usr/bin/env python
-"""Real-data dress rehearsal: materialize a synthetic Human3.6M tree in the
-EXACT upstream annotation layout, bless it with tools/validate_data.py, then
-drive the production CLIs (train.py / test.py) against it.
+"""Real-data dress rehearsal: materialize an on-disk dataset tree in the
+EXACT upstream annotation layout, validate it, and drive the production
+CLIs against it.
 
-Why: no real H36M release exists in this environment, so the
-CLI -> load_h36m -> Trainer/Tester path had only ever parsed the
-validator's in-memory fixtures, never a disk tree through the real
-entrypoints (VERDICT r3 task 7). This tool writes, per protocol-2 subject:
+No real Human3.6M/MPII release exists in this environment, so the
+CLI -> validate_data -> load_h36m/load_mpii -> Trainer/Tester path has
+only ever been exercised via in-memory synthetic datasets
+(``--synthetic``). This tool closes that gap (VERDICT r3 task 7): it
+writes a tree that is schema-identical to the upstream preprocessed
+release (reference ``data/Human36M/Human36M.py:~load_data`` /
+``data/MPII/MPII.py``) — per-subject
+``annotations/Human36M_subject{N}_{data,camera,joint_3d}.json`` with
+world-space joints + camera extrinsics, COCO-style MPII ``train.json``,
+and real JPEG frames under ``images/`` whose rendered blobs are
+geometrically consistent with the annotations (same renderer as the
+accuracy probes, driven through the SAME world->camera->pixel math the
+loader applies, including the loader's Thorax synthesis) — then runs
+the preflight validator and, with ``--run``, the real ``train.py`` /
+``test.py`` CLIs on it.
 
-    {root}/annotations/Human36M_subject{N}_data.json      (COCO-style
-        images [+cam_idx, frame_idx, action_idx, subaction_idx,
-        action_name] and annotations [bbox])
-    {root}/annotations/Human36M_subject{N}_camera.json    ({cam: R,t,f,c})
-    {root}/annotations/Human36M_subject{N}_joint_3d.json  (nested
-        [action][subaction][frame] -> (17,3) world mm; Thorax synthesized
-        by the loader as mid-shoulders, reference Human36M.py:~load_data)
-    {root}/images/*.jpg                                   (rendered blobs)
-
-Geometry is closed-loop: world joints are chosen so the loader's
-world2cam -> +Thorax -> cam2pixel chain reproduces exactly the pixel/depth
-labels the frames were rendered from (identity R, zero t), so a short
-training run on this tree learns exactly like the in-memory synthetic path.
-
-Usage:
-    python tools/dress_rehearsal.py --root /tmp/h36m_tree          # build+validate
-    python tools/dress_rehearsal.py --root /tmp/h36m_tree --run_cli \
-        --output_dir /tmp/dress_out --steps 2                       # + CLIs (TPU)
+    python tools/dress_rehearsal.py --root /tmp/dress_tree          # build + validate
+    python tools/dress_rehearsal.py --root /tmp/dress_tree --run    # + CLI smoke (TPU)
 """
 
 from __future__ import annotations
@@ -36,169 +31,222 @@ import os
 import subprocess
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
 
 
-def build_tree(root: str, per_subject_train: int, per_subject_test: int,
-               img_size: int = 400) -> None:
+def _write_json(path: str, obj) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(obj, f)
+
+
+def _h36m_subject(root: str, subj: int, n_frames: int, img_size: int,
+                  rng: np.ndarray) -> int:
+    """Write one subject's three upstream annotation files + JPEG frames.
+
+    Pose generation mirrors make_synthetic (blob positions in pixel space,
+    depth coded off the mirror-invariant y coordinate) but is INVERTED to
+    world space so the tree carries what the upstream release carries:
+    17-joint world-mm poses + camera (R, t, f, c). Rendering then REPLAYS
+    the loader's own math (world2cam -> thorax synthesis -> cam2pixel) so
+    the pixels match what load_h36m will reconstruct, Thorax included."""
     import cv2
 
     from ihpr_tpu.data import geometry, skeletons
-    from ihpr_tpu.data.datasets import (
-        H36M_ACTIONS,
-        H36M_TEST_SUBJECTS,
-        H36M_TRAIN_SUBJECTS,
-        _bbox_from_joints,
-        make_synthetic,
-        render_synthetic_image,
-    )
+    from ihpr_tpu.data.datasets import H36M_ACTIONS, render_synthetic_image
 
     skel = skeletons.H36M
-    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
-    os.makedirs(os.path.join(root, "images"), exist_ok=True)
-    subjects = list(H36M_TRAIN_SUBJECTS[2]) + list(H36M_TEST_SUBJECTS[2])
-    counts = {s: per_subject_train for s in H36M_TRAIN_SUBJECTS[2]}
-    counts.update({s: per_subject_test for s in H36M_TEST_SUBJECTS[2]})
-
-    f = np.array([1100.0, 1100.0], np.float64)
-    c = np.array([img_size / 2, img_size / 2], np.float64)
-    cam = dict(
-        R=np.eye(3).tolist(), t=[0.0, 0.0, 0.0], f=f.tolist(), c=c.tolist()
+    f = np.array([1100.0, 1100.0], np.float32)
+    c = np.array([img_size / 2.0, img_size / 2.0], np.float32)
+    # Non-trivial extrinsics so world2cam is actually exercised: a fixed
+    # small rotation + translation per subject.
+    th = 0.05 * subj
+    R = np.array(
+        [[np.cos(th), -np.sin(th), 0.0], [np.sin(th), np.cos(th), 0.0],
+         [0.0, 0.0, 1.0]],
+        np.float64,
     )
-    # Shoulder indices the loader's Thorax synthesis uses (jc[11], jc[14]).
-    SH_A, SH_B = 11, 14
+    t = np.array([10.0 * subj, -5.0 * subj, 0.0], np.float64)
+    root_z = 4000.0
 
-    for subj in subjects:
-        n = counts[subj]
-        samples = make_synthetic(
-            skel, n, seed=1000 + subj, img_size=img_size, easy_depth=True
+    images, annotations = [], []
+    joint_3d: dict = {}
+    for i in range(n_frames):
+        action_idx = 2 + (i % len(H36M_ACTIONS))
+        # 17 base joints (Thorax synthesized by the loader): blob centers in
+        # pixel space, depth from y (mirror-invariant, as the probes use).
+        center = rng.uniform(img_size * 0.35, img_size * 0.65, 2)
+        xy = np.clip(center + rng.randn(17, 2) * rng.uniform(35, 70), 8, img_size - 8)
+        # The loader re-references depth to the PELVIS's own z, so a coded
+        # span of +-s becomes up to 2s pelvis-relative; 700/2 keeps every
+        # joint inside the +-1000 mm bbox_3d_shape volume.
+        z_rel = ((xy[:, 1:2] / img_size) - 0.5) * 700.0
+        px = np.concatenate([xy, z_rel + root_z], 1)
+        jc17 = geometry.pixel2cam(px, f, c)  # camera mm
+        jw17 = (jc17 - t) @ np.linalg.inv(R).T  # invert world2cam
+
+        # Replay the loader: world -> cam -> +Thorax -> pixel.
+        jc = geometry.world2cam(jw17.astype(np.float32), R.astype(np.float32),
+                                t.astype(np.float32))
+        thorax = (jc[11] + jc[14]) * 0.5
+        jc18 = np.concatenate([jc, thorax[None]], 0)
+        jp18 = geometry.cam2pixel(jc18, f, c)
+        joint_img = jp18.copy()
+        joint_img[:, 2] = jc18[:, 2] - float(jc18[skel.root_idx, 2])
+
+        file_name = f"s_{subj:02d}_act_{action_idx:02d}_{i:06d}.jpg"
+        img_id = subj * 1000000 + i
+        frame = render_synthetic_image(
+            dict(joint_img=joint_img.astype(np.float32),
+                 img_shape=(img_size, img_size))
         )
-        images, annotations = [], []
-        joints_3d: dict = {}
-        for i, s in enumerate(samples):
-            # Closed loop: pixel labels -> camera mm -> force Thorax =
-            # mid-shoulders (what the loader synthesizes) -> world (R=I,
-            # t=0) -> re-derive the labels the loader WILL compute, and
-            # render the frame from those.
-            px = s["joint_img"].astype(np.float64).copy()
-            px[:, 2] += s["root_z"]  # absolute depth
-            jc = geometry.pixel2cam(px, f, c)
-            jc[17] = (jc[SH_A] + jc[SH_B]) * 0.5  # Thorax, loader-style
-            jw17 = jc[:17]
+        out_path = os.path.join(root, "images", file_name)
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        ok = cv2.imwrite(out_path, frame[:, :, ::-1],
+                         [cv2.IMWRITE_JPEG_QUALITY, 95])
+        assert ok, out_path
 
-            jc2 = np.concatenate([jw17, ((jw17[SH_A] + jw17[SH_B]) * 0.5)[None]], 0)
-            jp = geometry.cam2pixel(jc2, f, c)
-            root_z = float(jc2[skel.root_idx, 2])
-            joint_img = jp.copy()
-            joint_img[:, 2] = jc2[:, 2] - root_z
-            s2 = {**s, "joint_img": joint_img.astype(np.float32), "root_z": root_z}
+        images.append(
+            dict(id=img_id, file_name=file_name, width=img_size, height=img_size,
+                 cam_idx=1, frame_idx=i, action_idx=action_idx, subaction_idx=1,
+                 action_name=H36M_ACTIONS[action_idx - 2])
+        )
+        x0, y0 = jp18[:, 0].min(), jp18[:, 1].min()
+        w, h = jp18[:, 0].max() - x0, jp18[:, 1].max() - y0
+        annotations.append(
+            dict(id=img_id, image_id=img_id,
+                 bbox=[float(x0 - 0.1 * w), float(y0 - 0.1 * h),
+                       float(1.2 * w), float(1.2 * h)])
+        )
+        joint_3d.setdefault(str(action_idx), {}).setdefault("1", {})[str(i)] = (
+            jw17.astype(np.float64).tolist()
+        )
 
-            img_id = subj * 1_000_000 + i
-            fname = f"s_{subj:02d}_{i:06d}.jpg"
-            frame = render_synthetic_image(s2)
-            ok = cv2.imwrite(
-                os.path.join(root, "images", fname),
-                frame[:, :, ::-1],
-                [cv2.IMWRITE_JPEG_QUALITY, 95],
-            )
-            assert ok, fname
-
-            a_idx = 2 + (i % len(H36M_ACTIONS))
-            images.append(
-                dict(
-                    id=img_id,
-                    file_name=fname,
-                    width=img_size,
-                    height=img_size,
-                    cam_idx=1,
-                    frame_idx=i,
-                    action_idx=a_idx,
-                    subaction_idx=1,
-                    action_name=H36M_ACTIONS[a_idx - 2],
-                )
-            )
-            bbox = _bbox_from_joints(jp.astype(np.float32))
-            annotations.append(
-                dict(id=img_id, image_id=img_id, bbox=[float(v) for v in bbox])
-            )
-            joints_3d.setdefault(str(a_idx), {}).setdefault("1", {})[str(i)] = (
-                jw17.tolist()
-            )
-        base = os.path.join(root, "annotations", f"Human36M_subject{subj}_")
-        with open(base + "data.json", "w") as fh:
-            json.dump(dict(images=images, annotations=annotations), fh)
-        with open(base + "camera.json", "w") as fh:
-            json.dump({"1": cam}, fh)
-        with open(base + "joint_3d.json", "w") as fh:
-            json.dump(joints_3d, fh)
-        print(f"subject {subj}: {n} frames written")
+    base = os.path.join(root, "annotations", f"Human36M_subject{subj}_")
+    _write_json(base + "data.json", dict(images=images, annotations=annotations))
+    _write_json(
+        base + "camera.json",
+        {"1": dict(R=R.tolist(), t=t.tolist(), f=f.tolist(), c=c.tolist())},
+    )
+    _write_json(base + "joint_3d.json", joint_3d)
+    return n_frames
 
 
-def roundtrip_check(root: str) -> None:
-    """Loader-level closed-loop check (no device): parse the tree through
-    load_h36m and confirm labels are self-consistent and images resolve."""
-    from ihpr_tpu.data.datasets import load_h36m
+def _mpii_tree(root: str, n: int, img_size: int, rng) -> int:
+    """COCO-format MPII train.json + rendered 16-joint 2D frames."""
+    import cv2
 
-    for split, sampling in (("train", 5), ("test", 64)):
-        samples = load_h36m(root, split)
-        assert samples, (split, "0 samples")
-        for s in samples[:: max(1, len(samples) // 8)]:
-            assert os.path.exists(s["img_path"]), s["img_path"]
-            assert np.isfinite(s["joint_img"]).all()
-            assert 500 < s["root_z"] < 20000, s["root_z"]
-        print(f"roundtrip {split}: {len(samples)} samples OK")
+    from ihpr_tpu.data import skeletons
+    from ihpr_tpu.data.datasets import render_synthetic_image
+
+    skel = skeletons.MPII
+    images, annotations = [], []
+    for i in range(n):
+        center = rng.uniform(img_size * 0.35, img_size * 0.65, 2)
+        xy = np.clip(center + rng.randn(skel.joint_num, 2) * rng.uniform(35, 70),
+                     8, img_size - 8)
+        joint_img = np.concatenate([xy, np.zeros((skel.joint_num, 1))], 1)
+        file_name = f"mpii_{i:09d}.jpg"
+        frame = render_synthetic_image(
+            dict(joint_img=joint_img.astype(np.float32),
+                 img_shape=(img_size, img_size))
+        )
+        out_path = os.path.join(root, "images", file_name)
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        ok = cv2.imwrite(out_path, frame[:, :, ::-1],
+                         [cv2.IMWRITE_JPEG_QUALITY, 95])
+        assert ok, out_path
+        images.append(dict(id=i, file_name=file_name, width=img_size,
+                           height=img_size))
+        kpts = np.concatenate([xy, np.ones((skel.joint_num, 1))], 1)
+        x0, y0 = xy[:, 0].min(), xy[:, 1].min()
+        w, h = xy[:, 0].max() - x0, xy[:, 1].max() - y0
+        annotations.append(
+            dict(id=i, image_id=i,
+                 bbox=[float(x0 - 0.1 * w), float(y0 - 0.1 * h),
+                       float(1.2 * w), float(1.2 * h)],
+                 keypoints=kpts.ravel().tolist())
+        )
+    _write_json(os.path.join(root, "annotations", "train.json"),
+                dict(images=images, annotations=annotations))
+    return n
+
+
+def build_tree(root: str, frames_train: int, frames_test: int,
+               img_size: int) -> None:
+    from ihpr_tpu.data.datasets import H36M_TEST_SUBJECTS, H36M_TRAIN_SUBJECTS
+
+    rng = np.random.RandomState(7)
+    total = 0
+    for subj in H36M_TRAIN_SUBJECTS[2]:
+        total += _h36m_subject(root, subj, frames_train, img_size, rng)
+    for subj in H36M_TEST_SUBJECTS[2]:
+        total += _h36m_subject(root, subj, frames_test, img_size, rng)
+    total += _mpii_tree(root, max(frames_train // 2, 64), img_size, rng)
+    print(f"dress_rehearsal: wrote {total} frames under {root}", flush=True)
+
+
+def validate(root: str) -> None:
+    from tools.validate_data import validate_h36m, validate_mpii
+
+    for split in ("train", "test"):
+        rep = validate_h36m(root, split, protocol=2, check_images=8)
+        rc = rep.dump()
+        assert rc == 0, f"validate_data FAILED for Human36M {split}"
+    rep = validate_mpii(root, "train", check_images=8)
+    rc = rep.dump()
+    assert rc == 0, "validate_data FAILED for MPII train"
+    print("dress_rehearsal: validate_data OK (H36M train/test + MPII)", flush=True)
+
+
+def run_clis(root: str, out_dir: str, steps: int) -> None:
+    env = dict(os.environ, PYTHONUNBUFFERED="1")
+    train_cmd = [
+        sys.executable, os.path.join(REPO, "train.py"), "--config", "h36m3d_r50",
+        "--data_root", root, "--steps", str(steps), "--end_epoch", "1",
+        "--num_workers", "8", "--output_dir", out_dir,
+    ]
+    print("dress_rehearsal: RUN", " ".join(train_cmd), flush=True)
+    subprocess.run(train_cmd, check=True, env=env, timeout=3600)
+    test_cmd = [
+        sys.executable, os.path.join(REPO, "test.py"), "--config", "h36m3d_r50",
+        "--data_root", root, "--num_workers", "8", "--output_dir", out_dir,
+    ]
+    print("dress_rehearsal: RUN", " ".join(test_cmd), flush=True)
+    subprocess.run(test_cmd, check=True, env=env, timeout=3600)
+    print("dress_rehearsal: CLI train+test PASS on the materialized tree",
+          flush=True)
 
 
 def main():
     from ihpr_tpu.utils.shutdown import install_graceful_shutdown
 
     install_graceful_shutdown()
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--root", default="/tmp/h36m_tree")
-    ap.add_argument("--per_subject_train", type=int, default=160)
-    ap.add_argument("--per_subject_test", type=int, default=128)
-    ap.add_argument("--skip_build", action="store_true")
-    ap.add_argument("--run_cli", action="store_true",
-                    help="drive train.py + test.py against the tree (TPU)")
-    ap.add_argument("--config", default="h36m3d_r50")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/dress_tree")
+    # 130 per train subject -> 26 loaded each (sampling=5) = 130 train
+    # samples >= the flagship global batch 128 -> >=1 step/epoch.
+    ap.add_argument("--frames_train", type=int, default=130)
+    # 128 per test subject -> 2 loaded each (sampling=64).
+    ap.add_argument("--frames_test", type=int, default=128)
+    ap.add_argument("--img_size", type=int, default=400)
     ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--run", action="store_true",
+                    help="drive train.py/test.py on the tree (TPU)")
     ap.add_argument("--output_dir", default="/tmp/dress_out")
     args = ap.parse_args()
 
-    if not args.skip_build:
-        build_tree(args.root, args.per_subject_train, args.per_subject_test)
-    roundtrip_check(args.root)
-
-    env = dict(os.environ, PYTHONUNBUFFERED="1")
-    for split in ("train", "test"):
-        r = subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools", "validate_data.py"),
-             "--dataset", "Human36M", "--data_root", args.root, "--split", split],
-            env=env,
-        )
-        assert r.returncode == 0, f"validate_data {split} failed"
-
-    if args.run_cli:
-        r = subprocess.run(
-            [sys.executable, os.path.join(REPO, "train.py"),
-             "--config", args.config, "--data_root", args.root,
-             "--steps", str(args.steps), "--end_epoch", "1",
-             "--output_dir", args.output_dir, "--num_workers", "4"],
-            env=env,
-        )
-        assert r.returncode == 0, "train.py failed"
-        r = subprocess.run(
-            [sys.executable, os.path.join(REPO, "test.py"),
-             "--config", args.config, "--data_root", args.root,
-             "--output_dir", args.output_dir, "--num_workers", "4"],
-            env=env,
-        )
-        assert r.returncode == 0, "test.py failed"
-        print("dress_rehearsal: CLI train + test PASS on the disk tree")
-    print("dress_rehearsal: OK")
+    if not os.path.exists(os.path.join(args.root, "annotations")):
+        build_tree(args.root, args.frames_train, args.frames_test, args.img_size)
+    else:
+        print(f"dress_rehearsal: reusing existing tree at {args.root}", flush=True)
+    validate(args.root)
+    if args.run:
+        run_clis(args.root, args.output_dir, args.steps)
 
 
 if __name__ == "__main__":
