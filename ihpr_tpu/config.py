@@ -161,8 +161,9 @@ class EvalConfig:
 
     flip_test: bool = True
     protocol: int = 2  # H36M protocol: 1 = PA-MPJPE (S11), 2 = MPJPE (S9, S11)
-    # 128 measured fastest on v5e (tools/eval_bench.py: 1688 img/s/chip vs
-    # 1112 at 64 — eval is dispatch-latency-bound on the tunnel).
+    # 128 measured fastest on v5e (tools/eval_bench.py HEAD band:
+    # 1565-1670 img/s/chip vs 1025-1106 at 64 — eval is dispatch+pull
+    # latency-bound on the tunnel; PARITY.md eval row).
     batch_size_per_device: int = 128
     # Write the reference-layout result files (pred.mat / H36M result json /
     # COCO detections json) on evaluate(). Parity default; secondary evals
