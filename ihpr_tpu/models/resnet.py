@@ -217,37 +217,21 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
-class _Conv1x1Param(nn.Module):
-    """Bare kernel parameter for a 1x1 conv consumed by the fused
-    matmul+BN kernel; path/shape/init match ``nn.Conv(features, (1,1),
-    use_bias=False)`` so checkpoints and the torch converter see the
-    identical tree."""
+class _ConvParam(nn.Module):
+    """Bare kernel parameter for a conv consumed by a fused Pallas kernel
+    (matmul_bn's 1x1s, conv_bn's 3x3); path/shape/init match
+    ``nn.Conv(features, (k, k), use_bias=False)`` so checkpoints and the
+    torch converter see the identical tree."""
 
     features: int
+    ksize: int = 1
 
     @nn.compact
     def __call__(self, cin: int):
         return self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (1, 1, cin, self.features),
-            jnp.float32,
-        )
-
-
-class _Conv3x3Param(nn.Module):
-    """Bare kernel parameter for a 3x3 conv consumed by the fused
-    conv+BN kernel (ops/conv_bn.py); path/shape/init match
-    ``nn.Conv(features, (3,3), use_bias=False)``."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, cin: int):
-        return self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (3, 3, cin, self.features),
+            (self.ksize, self.ksize, cin, self.features),
             jnp.float32,
         )
 
@@ -325,7 +309,14 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        if self.fused_conv3 and train and self.stride == 1 and (
+        # Both fused paths bake LIVE-batch statistics with lean-BN
+        # semantics into _SumBN, so they only stand in for bn_mode="lean"
+        # (the production mode). Measurement modes whose whole point is a
+        # different stats treatment (frozen / lean_sg(v) / lean_subN /
+        # flax's promoted normalize) must keep the plain path or the A/B
+        # would silently measure lean instead.
+        fusable_bn = self.bn_mode == "lean"
+        if self.fused_conv3 and fusable_bn and train and self.stride == 1 and (
             self.mesh is None or self.mesh.size == 1
         ):
             from ihpr_tpu.ops import conv_bn
@@ -336,7 +327,7 @@ class Bottleneck(nn.Module):
                 b, h, w_sp, e, e, 1, jnp.dtype(self.dtype).itemsize
             ):
                 return self._fused3_call(x, train)
-        if self.fused_1x1 and train:
+        if self.fused_1x1 and fusable_bn and train:
             from ihpr_tpu.ops import matmul_bn
 
             b, h, w_sp, cin = x.shape
@@ -376,7 +367,7 @@ class Bottleneck(nn.Module):
         b, h, w_sp, cin = x.shape
         e = self.features
         dt = self.dtype
-        w1 = _Conv1x1Param(e, name="conv1")(cin).reshape(cin, e).astype(dt)
+        w1 = _ConvParam(e, name="conv1")(cin).reshape(cin, e).astype(dt)
         x2 = x.astype(dt).reshape(b * h * w_sp, cin)
         y1, s1_1, s2_1 = fused_matmul_bn(x2, w1, mesh=self.mesh)
         mul1, add1 = _SumBN(name="bn1")(s1_1, s2_1, float(x2.shape[0]))
@@ -389,7 +380,7 @@ class Bottleneck(nn.Module):
         s1_2 = jnp.sum(c2f, axis=0)
         s2_2 = jnp.sum(c2f * c2f, axis=0)
         mul2, add2 = _SumBN(name="bn2")(s1_2, s2_2, float(m2))
-        w3 = _Conv1x1Param(e * 4, name="conv3")(e).reshape(e, e * 4).astype(dt)
+        w3 = _ConvParam(e * 4, name="conv3")(e).reshape(e, e * 4).astype(dt)
         y3, s1_3, s2_3 = fused_matmul_bn(
             c2.reshape(m2, e), w3, mul2, add2, mesh=self.mesh
         )
@@ -423,7 +414,7 @@ class Bottleneck(nn.Module):
         mul1, add1 = _SumBN(name="bn1")(
             jnp.sum(c1f, axis=(0, 1, 2)), jnp.sum(c1f * c1f, axis=(0, 1, 2)), m1
         )
-        w2 = _Conv3x3Param(e, name="conv2")(e)
+        w2 = _ConvParam(e, 3, name="conv2")(e)
         c2, s1_2, s2_2 = fused_conv3x3_bn(c1, w2, mul1, add1)
         mul2, add2 = _SumBN(name="bn2")(s1_2, s2_2, m1)
         a2 = jnp.maximum(c2 * mul2.astype(dt) + add2.astype(dt), 0)

@@ -81,7 +81,9 @@ def supported(
     return (
         stride == 1
         and (h * w) % 8 == 0
-        and w >= 2  # roll-by-(W+1) must stay inside one image row pair
+        and w >= 2  # W=1 planes make the dx=+-1 taps zero-extent slices
+        # inside _shift4 (degenerate concat operands Mosaic need not
+        # support); such planes take the XLA twin
         and ok_axis(c)
         and ok_axis(n)
         and _images_per_tile(b, h * w, c, n, itemsize, bwd=False) is not None

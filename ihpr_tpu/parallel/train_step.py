@@ -144,6 +144,31 @@ def create_train_state(
     return state, tx
 
 
+def _pick_coords_method(model: PoseNet, mesh):
+    """(spatial, coords_method) for a step jitted over ``mesh``.
+
+    2-axis mesh = spatial partitioning: each sample's image rows shard
+    over the minor axis (GSPMD halo exchanges through every conv), so the
+    step must take the plain-composition integral — pallas_call has no
+    GSPMD partitioning rule. Under a 1-axis (data) mesh, model.coords
+    launches the fused kernel per-shard via shard_map, but ONLY if the
+    model was built with the same mesh (ops/fused_head_integral.
+    _sharded_fused); a model built without it would put a bare
+    pallas_call inside the sharded jit and trip GSPMD's missing
+    partitioning rule (all-gather or compile failure on real multi-chip),
+    so that case also falls back to the plain partitionable path. BN
+    statistics stay global-batch either way (jit semantics are global;
+    XLA partitions the reduces)."""
+    spatial = mesh is not None and len(mesh.axis_names) > 1
+    if spatial or (
+        mesh is not None
+        and mesh.size > 1
+        and getattr(model, "mesh", None) != mesh
+    ):
+        return spatial, model.coords_plain
+    return spatial, model.coords
+
+
 def make_train_step(
     model: PoseNet,
     tx: optax.GradientTransformation,
@@ -167,27 +192,7 @@ def make_train_step(
     flip_perm = skeletons.get_skeleton(cfg.data.trainset[0]).flip_permutation()
     joint_num = len(flip_perm)
     depth_dim = cfg.data.depth_dim
-    # 2-axis mesh = spatial partitioning: each sample's image rows shard
-    # over the minor axis (GSPMD halo exchanges through every conv), so
-    # the step must take the plain-composition integral — pallas_call has
-    # no GSPMD partitioning rule. Under a 1-axis (data) mesh, model.coords
-    # launches the fused kernel per-shard via shard_map (the model must be
-    # built with the same mesh — ops/fused_head_integral._sharded_fused).
-    # BN statistics stay global-batch either way (jit semantics are
-    # global; XLA partitions the reduces).
-    spatial = mesh is not None and len(mesh.axis_names) > 1
-    coords_method = model.coords_plain if spatial else model.coords
-    if (
-        mesh is not None
-        and mesh.size > 1
-        and not spatial
-        and getattr(model, "mesh", None) != mesh
-    ):
-        # Fail-safe: a model built WITHOUT the step's mesh can't shard_map
-        # the fused kernel, and a bare pallas_call inside the sharded jit
-        # trips GSPMD's missing partitioning rule (all-gather or compile
-        # failure on real multi-chip). Take the plain partitionable path.
-        coords_method = model.coords_plain
+    spatial, coords_method = _pick_coords_method(model, mesh)
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
         if "patch" in batch:  # native host-warp fast path (pipeline.py)
@@ -287,19 +292,7 @@ def make_eval_step(model: PoseNet, cfg: Config, mesh=None) -> Callable:
     joint_num = len(flip_perm)
     depth_dim = cfg.data.depth_dim
     out_w = cfg.data.output_shape[1]
-    # Spatial mesh: plain-composition integral, rows sharded (see
-    # make_train_step's note).
-    spatial = mesh is not None and len(mesh.axis_names) > 1
-    coords_method = model.coords_plain if spatial else model.coords
-    if (
-        mesh is not None
-        and mesh.size > 1
-        and not spatial
-        and getattr(model, "mesh", None) != mesh
-    ):
-        # Same fail-safe as make_train_step: no model-carried mesh means
-        # no shard_map launch — keep the program GSPMD-partitionable.
-        coords_method = model.coords_plain
+    spatial, coords_method = _pick_coords_method(model, mesh)
 
     def infer(params, batch_stats, image):
         if spatial:

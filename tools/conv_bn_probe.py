@@ -143,8 +143,6 @@ def main():
                 )
 
     print("\nsummary (pallas/xla speedup, >1 = pallas wins):", flush=True)
-    for (name, _, _), _v in list(results.items()):
-        break
     for name, *_ in SHAPES:
         for tag in ("plain", "prologue"):
             for d in ("fwd", "fwdbwd"):

@@ -146,11 +146,16 @@ def main():
     )
 
     # ---- 4. loader + device_put only (adds the H2D staging the prefetch
-    # wrapper performs, still no train step).
+    # wrapper performs, still no train step). device_put is async, so the
+    # loop must end with a data pull that forces the LAST batch's
+    # transfers (CLAUDE.md chained-computation rule) — each later put is
+    # already serialized behind the earlier ones on the tunnel.
     n_p = 0
     t0 = time.perf_counter()
+    batch = None
     for batch, _ in prefetch_to_device(loader.epoch(4), sharding):
         n_p += 1
+    _ = float(np.asarray(batch["joint_vis"]).sum())
     dt_p = (time.perf_counter() - t0) / n_p
     print(
         f"[loader + prefetch device_put, B={B}] {dt_p * 1e3:.1f} ms/batch",
