@@ -169,6 +169,15 @@ def main():
         "the accuracy cost of a perf-mode candidate before adopting it "
         "in the production configs",
     )
+    ap.add_argument(
+        "--continue",
+        dest="continue_train",
+        action="store_true",
+        help="resume training from the latest snapshot in --output_dir "
+        "(same semantics as train.py --continue; the synthetic datasets "
+        "are seed-deterministic and their JPEGs cache on disk, so the "
+        "resumed run sees the identical data stream)",
+    )
     args = ap.parse_args()
 
     hue_mode = args.hue_mode or (
@@ -350,7 +359,12 @@ def main():
             )
 
     t0 = time.perf_counter()
-    trainer = Trainer(cfg, datasets=train_datasets, num_workers=8)
+    trainer = Trainer(
+        cfg,
+        datasets=train_datasets,
+        num_workers=8,
+        continue_train=args.continue_train,
+    )
     state = trainer.train(end_epoch=end_epoch)
     train_s = time.perf_counter() - t0
 
