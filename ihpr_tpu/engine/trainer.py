@@ -37,8 +37,18 @@ class Trainer:
         datasets: Optional[Sequence[PoseDataset]] = None,
         num_workers: int = 8,
         synthetic_size: int = 512,
+        rss_limit_mb: Optional[float] = None,
     ):
         self.cfg = cfg
+        # Host-RSS watchdog (utils/hostmem.py): this platform's PJRT client
+        # leaks every H2D payload on the host (~1 batch/step), so a long run
+        # marches toward the kernel OOM-killer — whose SIGKILL both loses
+        # the run and seat-locks the remote TPU. None = auto (80% MemTotal);
+        # 0 disables. Past the limit the epoch loop snapshots and exits
+        # cleanly with EX_TEMPFAIL(75) for a --continue relaunch.
+        from ihpr_tpu.utils.hostmem import resolve_rss_limit_mb
+
+        self.rss_limit_mb = resolve_rss_limit_mb(rss_limit_mb)
         # cfg.model.matmul_precision is threaded per-call through the
         # model (build_pose_net) — no process-global precision mutation.
         self.logger = colorlogger(f"{cfg.output_dir}/log", "train_logs.txt")
@@ -271,8 +281,29 @@ class Trainer:
                         f"{itr_time * 1e3:.1f} ms/itr {speed:.1f} img/s "
                         f"({speed / n_dev:.1f} img/s/chip)"
                     )
-            if (epoch + 1) % self.cfg.optim.snapshot_interval == 0 or (
+            saved = (epoch + 1) % self.cfg.optim.snapshot_interval == 0 or (
                 epoch == end_epoch - 1
-            ):
+            )
+            if saved:
                 self.ckpt.save(epoch, self.state, self.data_rng)
                 self.logger.info(f"saving snapshot_{epoch} (async)")
+            if self.rss_limit_mb is not None and epoch != end_epoch - 1:
+                from ihpr_tpu.utils.hostmem import EX_TEMPFAIL, host_rss_mb
+
+                rss = host_rss_mb()
+                if rss > self.rss_limit_mb:
+                    # Self-preempt BEFORE the OOM-killer's SIGKILL: snapshot
+                    # this epoch (if the interval didn't), then exit cleanly
+                    # with EX_TEMPFAIL so a supervisor relaunches with
+                    # --continue (train()'s finally drains the async save;
+                    # the resumed stream is bit-identical — proven by the
+                    # r152 run in PARITY.md).
+                    if not saved:
+                        self.ckpt.save(epoch, self.state, self.data_rng)
+                    self.logger.warning(
+                        f"host RSS {rss:.0f} MB > limit "
+                        f"{self.rss_limit_mb:.0f} MB (platform H2D staging "
+                        f"leak, see PARITY.md): snapshot_{epoch} saved, "
+                        f"exiting {EX_TEMPFAIL} — relaunch with --continue"
+                    )
+                    raise SystemExit(EX_TEMPFAIL)

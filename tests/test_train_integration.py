@@ -319,3 +319,47 @@ def test_train_drains_checkpoint_on_abnormal_exit(tiny_cfg, tiny_data, tmp_path)
     template = jax.tree.map(lambda x: x, tr.state)
     _, _, epoch = tr.ckpt.load_latest(template, jax.random.key(9))
     assert epoch == 0  # epoch 0's snapshot, committed + metadata complete
+
+
+def test_trainer_rss_watchdog_preempts_and_resumes(tiny_cfg, tiny_data, tmp_path):
+    """Host-RSS watchdog (utils/hostmem.py): the platform's PJRT client
+    leaks every H2D batch on the host, so long runs must self-preempt
+    BEFORE the kernel OOM-killer SIGKILLs them (which would also
+    seat-lock the TPU). With an impossible 1 MB limit the Trainer must
+    snapshot epoch 0 and raise SystemExit(EX_TEMPFAIL); a continue_train
+    relaunch (what tools/train_supervised.sh automates) must resume at
+    epoch 1 and finish the run."""
+    import dataclasses
+
+    from ihpr_tpu.engine.trainer import Trainer
+    from ihpr_tpu.utils.hostmem import EX_TEMPFAIL, resolve_rss_limit_mb
+
+    cfg = tiny_cfg.replace(
+        output_dir=str(tmp_path),
+        optim=dataclasses.replace(
+            tiny_cfg.optim, end_epoch=3, snapshot_interval=10, snapshot_keep=3
+        ),
+    )
+    tr = Trainer(cfg, datasets=[tiny_data], num_workers=0, rss_limit_mb=1.0)
+    tr.cap_steps_per_epoch(1)
+    with pytest.raises(SystemExit) as exc:
+        tr.train(end_epoch=3)
+    assert exc.value.code == EX_TEMPFAIL
+    tr.ckpt.wait()
+    # interval=10 would not have saved epoch 0 — the watchdog must have
+    assert tr.ckpt._epochs_on_disk() == [0]
+
+    tr2 = Trainer(
+        cfg, datasets=[tiny_data], num_workers=0, continue_train=True,
+        rss_limit_mb=0,  # 0 disables the watchdog
+    )
+    assert tr2.rss_limit_mb is None
+    assert tr2.start_epoch == 1
+    tr2.cap_steps_per_epoch(1)
+    tr2.train(end_epoch=3)
+    tr2.ckpt.wait()
+    assert 2 in tr2.ckpt._epochs_on_disk()  # final epoch saved
+
+    # default (None) resolves to 80% of MemTotal — present and generous
+    auto = resolve_rss_limit_mb(None)
+    assert auto is None or auto > 1000

@@ -51,6 +51,14 @@ def main():
         "--shard_opt_state", action="store_true",
         help="ZeRO-1 analog: shard Adam moments over the data axis",
     )
+    ap.add_argument(
+        "--rss_limit_mb", type=float, default=None,
+        help="host-RSS watchdog threshold (default: 80%% of MemTotal, "
+        "0 disables). This platform's PJRT client leaks every H2D batch "
+        "on the host; past the limit the trainer snapshots and exits "
+        "EX_TEMPFAIL(75) for a --continue relaunch "
+        "(tools/train_supervised.sh automates the loop)",
+    )
     args = ap.parse_args()
 
     if args.multihost:
@@ -90,6 +98,7 @@ def main():
         continue_train=args.continue_train,
         num_workers=args.num_workers,
         synthetic_size=args.synthetic_size,
+        rss_limit_mb=args.rss_limit_mb,
     )
     if args.pretrained:
         trainer.load_pretrained_backbone(args.pretrained)
