@@ -1,6 +1,11 @@
 #!/usr/bin/env python
 """Go/no-go probe: does XLA:TPU run int8 convs at the int8 MXU rate?
 
+SUPERSEDED (round 4) by tools/mxu_int8_probe.py: this probe's timing
+token (``y[0, 0, 0, :1] * 0``) lets XLA narrow/fold the conv it is
+supposed to time — its bf16 number exceeded the chip's peak — so its
+0.67x conclusion was an artifact. Kept for the ledger; use the new probe.
+
 v5e lists 394 int8 TOPS vs 197 bf16 TFLOPs. If lax.conv with int8
 operands + int32 accumulation approaches 2x the bf16 conv rate, an
 int8-quantized serving path is worth building; if XLA upcasts or the
