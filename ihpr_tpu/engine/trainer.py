@@ -287,11 +287,35 @@ class Trainer:
             if saved:
                 self.ckpt.save(epoch, self.state, self.data_rng)
                 self.logger.info(f"saving snapshot_{epoch} (async)")
-            if self.rss_limit_mb is not None and epoch != end_epoch - 1:
+            if epoch != end_epoch - 1 and (
+                self.rss_limit_mb is not None or jax.process_count() > 1
+            ):
                 from ihpr_tpu.utils.hostmem import EX_TEMPFAIL, host_rss_mb
 
                 rss = host_rss_mb()
-                if rss > self.rss_limit_mb:
+                over = (
+                    self.rss_limit_mb is not None and rss > self.rss_limit_mb
+                )
+                if jax.process_count() > 1:
+                    # The trip MUST be a collective decision: ckpt.save
+                    # opens a cross-process orbax barrier, so a lone
+                    # process snapshotting and exiting while the rest
+                    # train on would deadlock the job. Every process
+                    # votes its LOCAL rss-vs-limit (hosts may differ in
+                    # MemTotal, so limits differ); any vote preempts all.
+                    # The gather runs on every process every epoch —
+                    # unconditionally, so no process can skip the
+                    # collective (hence the process_count term in the
+                    # enclosing gate even when this host's watchdog is
+                    # disabled).
+                    from jax.experimental import multihost_utils
+
+                    over = bool(
+                        multihost_utils.process_allgather(
+                            np.asarray(over)
+                        ).any()
+                    )
+                if over:
                     # Self-preempt BEFORE the OOM-killer's SIGKILL: snapshot
                     # this epoch (if the interval didn't), then exit cleanly
                     # with EX_TEMPFAIL so a supervisor relaunches with
@@ -300,10 +324,15 @@ class Trainer:
                     # r152 run in PARITY.md).
                     if not saved:
                         self.ckpt.save(epoch, self.state, self.data_rng)
+                    limit = (
+                        f"{self.rss_limit_mb:.0f} MB"
+                        if self.rss_limit_mb is not None
+                        else "off on this host"
+                    )
                     self.logger.warning(
-                        f"host RSS {rss:.0f} MB > limit "
-                        f"{self.rss_limit_mb:.0f} MB (platform H2D staging "
-                        f"leak, see PARITY.md): snapshot_{epoch} saved, "
+                        f"host RSS {rss:.0f} MB, limit {limit} (tripped "
+                        f"on any process; platform H2D staging leak, see "
+                        f"PARITY.md): snapshot_{epoch} saved, "
                         f"exiting {EX_TEMPFAIL} — relaunch with --continue"
                     )
                     raise SystemExit(EX_TEMPFAIL)

@@ -205,6 +205,59 @@ def build_ckpt_phase(n_global_devices: int) -> int:
     return epoch
 
 
+def build_watchdog_phase(n_global_devices: int) -> int:
+    """Host-RSS watchdog under multi-process: the trip must be a
+    COLLECTIVE decision (trainer.py gathers every process's local
+    rss-vs-limit vote at each epoch boundary). Worker 0 runs with a 1 MB
+    limit (any real process is over it); worker 1 runs with its watchdog
+    DISABLED — without the collective vote, worker 0 would snapshot
+    (ckpt.save opens a cross-process orbax barrier) and exit alone,
+    deadlocking worker 1 at the next collective. PASS = BOTH workers
+    leave the epoch loop with EX_TEMPFAIL after epoch 0 of 2."""
+    import shutil
+
+    import jax
+
+    from ihpr_tpu.config import DataConfig, ModelConfig, OptimConfig, get_config
+    from ihpr_tpu.data import skeletons
+    from ihpr_tpu.data.datasets import PoseDataset, make_synthetic
+    from ihpr_tpu.engine.trainer import Trainer
+
+    out_dir = "/tmp/mp_watchdog"
+    if jax.process_index() == 0:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("mp_watchdog_clean")
+    cfg = get_config("h36m3d_r50").replace(
+        model=ModelConfig(resnet_type=18),
+        data=DataConfig(
+            trainset=("Human36M",),
+            input_shape=(64, 64),
+            output_shape=(16, 16),
+            depth_dim=16,
+            use_aug=False,
+        ),
+        optim=OptimConfig(batch_size_per_device=2),
+        output_dir=out_dir,
+    )
+    skel = skeletons.H36M
+    ds = PoseDataset(
+        "Human36M",
+        skel,
+        make_synthetic(skel, 4 * n_global_devices, seed=0, img_size=128),
+        True,
+    )
+    limit = 1.0 if jax.process_index() == 0 else 0
+    tr = Trainer(cfg, datasets=[ds], num_workers=0, rss_limit_mb=limit)
+    try:
+        tr.train(end_epoch=2)
+    except SystemExit as e:
+        return int(e.code)
+    return -1
+
+
 def worker(pid: int):
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
@@ -237,6 +290,8 @@ def worker(pid: int):
     preds_sp = build_and_eval(NPROC * LOCAL_DEVICES, spatial=2)
     np.save(f"/tmp/mp_eval_preds_sp_{pid}.npy", preds_sp)
     print(f"WORKER {pid} spatial_eval_done shape={preds_sp.shape}", flush=True)
+    rc = build_watchdog_phase(NPROC * LOCAL_DEVICES)
+    print(f"WORKER {pid} watchdog_rc={rc}", flush=True)
 
 
 def main():
@@ -327,6 +382,22 @@ def main():
     print(
         "multiprocess_dp: PASS (2-process dp4 x spatial2 train + eval == "
         "single-process)"
+    )
+
+    # Watchdog phase: one over-limit process must preempt BOTH (collective
+    # vote), each exiting the epoch loop with EX_TEMPFAIL — completion of
+    # both workers is itself the no-deadlock proof.
+    from ihpr_tpu.utils.hostmem import EX_TEMPFAIL
+
+    for p, out in zip(procs, outs):
+        m = re.search(r"watchdog_rc=(-?\d+)", out)
+        assert m, f"worker {p} skipped the watchdog phase"
+        assert int(m.group(1)) == EX_TEMPFAIL, (
+            f"worker {p} watchdog rc={m.group(1)} != {EX_TEMPFAIL}"
+        )
+    print(
+        "multiprocess_dp: PASS (2-process RSS watchdog: collective trip, "
+        "both workers EX_TEMPFAIL)"
     )
 
 
