@@ -47,43 +47,70 @@ class PoseServer:
         max_batch: int = 16,
         flip_test: Optional[bool] = None,
         mesh=None,
+        partition: str = "spatial",
     ):
-        """``mesh``: a multi-device ``jax.sharding.Mesh`` enables SPATIAL
-        partitioning — the patch's image-row axis is sharded over the
-        mesh's first axis and XLA inserts the conv halo exchanges, so a
-        single small request uses every chip (latency scaling, where data
-        parallelism can only scale throughput). The spatial path computes
-        the soft-argmax with the plain-XLA composition (GSPMD has no
-        pallas partitioning rule); coordinates are identical (tested on
-        the virtual CPU mesh). in_h must be divisible by the mesh size."""
+        """``mesh``: a multi-device ``jax.sharding.Mesh`` enables multi-chip
+        serving; ``partition`` picks the axis (BASELINE config #5 composes
+        both halves — multi-chip training AND a multi-chip server):
+
+        - ``"spatial"`` (latency): the patch's image-row axis is sharded
+          over the mesh's first axis and XLA inserts the conv halo
+          exchanges, so a single small request uses every chip. Routes
+          through the plain-XLA soft-argmax composition (GSPMD has no
+          pallas partitioning rule); coordinates are identical (tested on
+          the virtual CPU mesh). in_h must be divisible by the mesh size.
+        - ``"data"`` (throughput): the batch axis is sharded over the mesh
+          — each chip runs whole samples, the same layout the dp train
+          step uses. The model is built WITH the mesh, so inference takes
+          ``model.coords``: the fused final-conv+integral kernel launches
+          per-shard via shard_map (ops/fused_head_integral._sharded_fused)
+          — the max-throughput path on every chip, not just one.
+          max_batch must be divisible by the mesh size (requests are
+          padded to max_batch, so every dispatch is full and divisible;
+          flip-test's 2B concat stays divisible too)."""
         self.cfg = cfg
         # cfg.model.matmul_precision is threaded per-call through the
         # model (build_pose_net) — no process-global precision mutation.
         self.skeleton = skeletons.get_skeleton(cfg.data.testset)
-        self.model: PoseNet = build_pose_net(cfg, self.skeleton.joint_num)
         self.params = params
         self.batch_stats = batch_stats
         self.max_batch = max_batch
         self.flip_test = cfg.eval.flip_test if flip_test is None else flip_test
         self.flip_perm = self.skeleton.flip_permutation()
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        assert partition in ("spatial", "data"), partition
+        self.partition = partition if self.mesh is not None else "spatial"
+        self.model: PoseNet = build_pose_net(
+            cfg,
+            self.skeleton.joint_num,
+            mesh=self.mesh if self.partition == "data" else None,
+        )
         # params travel as jit ARGUMENTS: closing over them would bake ~100MB
         # of weights into the executable as constants and silently ignore
         # later weight updates.
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            assert cfg.data.input_shape[0] % self.mesh.size == 0, (
-                cfg.data.input_shape,
-                self.mesh.size,
-            )
+            ax = self.mesh.axis_names[0]
             rep = NamedSharding(self.mesh, P())
-            self._in_shard = NamedSharding(
-                self.mesh, P(None, self.mesh.axis_names[0], None, None)
-            )
+            if self.partition == "data":
+                assert max_batch % self.mesh.shape[ax] == 0, (
+                    "data-parallel serving pads every dispatch to max_batch, "
+                    f"which must divide over the mesh ({max_batch} vs "
+                    f"{dict(self.mesh.shape)})"
+                )
+                self._in_shard = NamedSharding(self.mesh, P(ax, None, None, None))
+                out = NamedSharding(self.mesh, P(ax, None, None))
+            else:
+                assert cfg.data.input_shape[0] % self.mesh.size == 0, (
+                    cfg.data.input_shape,
+                    self.mesh.size,
+                )
+                self._in_shard = NamedSharding(self.mesh, P(None, ax, None, None))
+                out = rep
             self.params = jax.device_put(self.params, rep)
             self.batch_stats = jax.device_put(self.batch_stats, rep)
-            self._jitted = jax.jit(self._forward, out_shardings=rep)
+            self._jitted = jax.jit(self._forward, out_shardings=out)
         else:
             self._jitted = jax.jit(self._forward)
 
@@ -97,14 +124,17 @@ class PoseServer:
 
         def infer(img):
             vars_ = {"params": params, "batch_stats": batch_stats}
-            if self.mesh is None:
+            if self.mesh is not None and self.partition == "spatial":
+                # Spatial mode: heatmap forward (every op partitionable) +
+                # plain-XLA soft-argmax — pallas_call has no GSPMD rule.
                 return self.model.apply(
-                    vars_, img, train=False, method=self.model.coords
+                    vars_, img, train=False, method=self.model.coords_plain
                 )
-            # Spatial mode: heatmap forward (every op partitionable) +
-            # plain-XLA soft-argmax — pallas_call has no GSPMD rule.
+            # Single-device AND data-parallel: model.coords — the fused
+            # kernel (per-shard shard_map launch when the model holds a
+            # multi-device mesh).
             return self.model.apply(
-                vars_, img, train=False, method=self.model.coords_plain
+                vars_, img, train=False, method=self.model.coords
             )
 
         if not self.flip_test:

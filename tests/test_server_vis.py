@@ -133,6 +133,67 @@ def test_server_spatial_mesh_matches_single_device(tiny_server):
     np.testing.assert_allclose(out, ref, atol=2e-3)
 
 
+def test_server_data_parallel_matches_single_device(tiny_server):
+    """PoseServer(mesh=..., partition="data") — BASELINE config #5's
+    composition: the batch axis shards over the mesh (the dp train step's
+    layout) so every chip serves whole samples. Coordinates must match the
+    single-device server, flip-test on AND off."""
+    from jax.sharding import Mesh
+
+    cfg = tiny_server.cfg
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    patches = (
+        np.random.RandomState(6).randint(0, 255, (11, 64, 64, 3)).astype(np.uint8)
+    )
+    for flip in (False, True):
+        ref_srv = PoseServer(
+            cfg, tiny_server.params, tiny_server.batch_stats, max_batch=8,
+            flip_test=flip,
+        )
+        srv_dp = PoseServer(
+            cfg, tiny_server.params, tiny_server.batch_stats, max_batch=8,
+            flip_test=flip, mesh=mesh, partition="data",
+        )
+        ref = ref_srv.predict_patches(patches)
+        out = srv_dp.predict_patches(patches)
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_server_data_parallel_fused_shardmap(tiny_server, monkeypatch):
+    """The dp server must route through the fused kernel's shard_map
+    per-shard launch (model built WITH the mesh). CPU defaults to the
+    plain composition, so force the Pallas kernels via interpret mode —
+    this executes ops/fused_head_integral._sharded_fused under the
+    8-device mesh inside the server's jit."""
+    from jax.sharding import Mesh
+
+    monkeypatch.setenv("IHPR_PALLAS", "interpret")
+    cfg = tiny_server.cfg
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    srv_dp = PoseServer(
+        cfg, tiny_server.params, tiny_server.batch_stats, max_batch=8,
+        flip_test=False, mesh=mesh, partition="data",
+    )
+    patches = (
+        np.random.RandomState(7).randint(0, 255, (8, 64, 64, 3)).astype(np.uint8)
+    )
+    out = srv_dp.predict_patches(patches)
+    monkeypatch.delenv("IHPR_PALLAS")
+    ref = tiny_server.predict_patches(patches)
+    np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
+def test_server_data_parallel_rejects_indivisible_batch(tiny_server):
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    with pytest.raises(AssertionError):
+        PoseServer(
+            tiny_server.cfg, tiny_server.params, tiny_server.batch_stats,
+            max_batch=6, mesh=mesh, partition="data",
+        )
+
+
 def test_vis_keypoints_and_grid(tmp_path):
     skel = skeletons.H36M
     img = np.zeros((64, 64, 3), np.uint8)

@@ -93,6 +93,91 @@ def build_and_step(n_global_devices: int, spatial: int = 1, aug: bool = False):
     return loss
 
 
+def build_fused_phase(n_global_devices: int):
+    """model.coords (fwd+grad) THROUGH the fused kernel's shard_map dp
+    launch on the real multi-process mesh (VERDICT r4 Missing #4: the
+    launch was only ever proven on a single-process virtual mesh).
+
+    IHPR_PALLAS=interpret forces the Pallas kernel live off-TPU, so the
+    shard_map spec set (ops/fused_head_integral._sharded_fused) — row-
+    sharded features, replicated weights, psummed dW/db cotangents across
+    PROCESSES — executes for real on the 2-process dp8 mesh. Returns
+    (loss, grad_fingerprint); both must match the single-process run."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ihpr_tpu.config import DataConfig, ModelConfig, OptimConfig, get_config
+    from ihpr_tpu.models.pose_net import build_pose_net
+    from ihpr_tpu.parallel import create_train_state, make_mesh
+
+    cfg = get_config("h36m3d_r50").replace(
+        model=ModelConfig(resnet_type=18),
+        data=DataConfig(
+            trainset=("Human36M",),
+            input_shape=(64, 64),
+            output_shape=(16, 16),
+            depth_dim=16,
+        ),
+        optim=OptimConfig(batch_size_per_device=1),
+    )
+    mesh = make_mesh(n_global_devices)
+    model = build_pose_net(cfg, mesh=mesh)
+    from ihpr_tpu.ops import fused_head_integral as _fhi
+
+    dd, (oh, ow) = cfg.data.depth_dim, cfg.data.output_shape
+    assert (
+        _fhi._pad_plan(model.joint_num, dd, oh * ow, cfg.model.deconv_channels)
+        is not None
+    ), "phase shapes must exercise the real fused-kernel path"
+    state, _ = create_train_state(
+        model, cfg, jax.random.key(0), steps_per_epoch=1, mesh=mesh
+    )
+    # Every process holds the same full global batch; make_array_from_callback
+    # slices out this process's addressable shards (the multi-process analog
+    # of the dryrun's device_put).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    full = (
+        np.random.RandomState(3)
+        .randn(n_global_devices, *cfg.data.input_shape, 3)
+        .astype(np.float32)
+    )
+    sh = NamedSharding(mesh, P("data", None, None, None))
+    img = jax.make_array_from_callback(full.shape, sh, lambda idx: full[idx])
+
+    def coords_loss(params, batch_stats, image):
+        c = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            image,
+            train=False,
+            method=model.coords,
+        )
+        return jnp.sum(c)
+
+    prev = os.environ.get("IHPR_PALLAS")
+    os.environ["IHPR_PALLAS"] = "interpret"
+    try:
+        val, grads = jax.jit(jax.value_and_grad(coords_loss))(
+            state.params, state.batch_stats, img
+        )
+        fingerprint = float(
+            jax.jit(
+                lambda g: sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g))
+            )(grads)
+        )
+        val = float(val)
+    finally:
+        if prev is None:
+            os.environ.pop("IHPR_PALLAS", None)
+        else:
+            os.environ["IHPR_PALLAS"] = prev
+    assert np.isfinite(val) and np.isfinite(fingerprint), (val, fingerprint)
+    return val, fingerprint
+
+
 def build_and_eval(n_global_devices: int, spatial: int = 1):
     """Tester.predict_voxels over the same tiny config with a deterministic
     state -> (N, J, 3) voxel preds. Under 2 processes this executes the
@@ -292,6 +377,8 @@ def worker(pid: int):
     print(f"WORKER {pid} spatial_eval_done shape={preds_sp.shape}", flush=True)
     rc = build_watchdog_phase(NPROC * LOCAL_DEVICES)
     print(f"WORKER {pid} watchdog_rc={rc}", flush=True)
+    fv, fg = build_fused_phase(NPROC * LOCAL_DEVICES)
+    print(f"WORKER {pid} fused_loss={fv:.8f} fused_gsum={fg:.6f}", flush=True)
 
 
 def main():
@@ -398,6 +485,24 @@ def main():
     print(
         "multiprocess_dp: PASS (2-process RSS watchdog: collective trip, "
         "both workers EX_TEMPFAIL)"
+    )
+
+    # Fused-kernel shard_map phase: the dp launch (interpret-mode pallas,
+    # fwd+grad with cross-process dW/db psum) must produce identical values
+    # on both workers AND equal the single-process run of the same mesh.
+    fused = {}
+    for p, out in zip(procs, outs):
+        m = re.search(r"WORKER (\d+) fused_loss=([\d.eE+-]+) fused_gsum=([\d.eE+-]+)", out)
+        assert m, f"worker {p} skipped the fused shard_map phase"
+        fused[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+    assert fused[0] == fused[1], fused
+    ref_fv, ref_fg = build_fused_phase(NPROC * LOCAL_DEVICES)
+    print(f"single-process fused reference loss={ref_fv:.8f} gsum={ref_fg:.6f}")
+    assert abs(fused[0][0] - ref_fv) < 1e-4 * max(1.0, abs(ref_fv)), (fused[0], ref_fv)
+    assert abs(fused[0][1] - ref_fg) < 1e-4 * max(1.0, abs(ref_fg)), (fused[0], ref_fg)
+    print(
+        "multiprocess_dp: PASS (2-process fused-kernel shard_map dp launch "
+        "== single-process, fwd+grad)"
     )
 
 
