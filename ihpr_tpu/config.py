@@ -275,18 +275,7 @@ def get_config(name: str) -> Config:
     return CONFIGS[name]
 
 
-def apply_matmul_precision(cfg: Config) -> None:
-    """DEPRECATED no-op shim (round 4). cfg.model.matmul_precision is now
-    threaded per-call through the model (build_pose_net ->
-    PoseNet.matmul_precision -> every conv/einsum), so the old process-
-    global jax_default_matmul_precision mutation — and its trap, where a
-    config constructed after a 'highest' config silently inherited
-    'highest' — is gone. Kept only so external callers don't break."""
-    import warnings
-
-    warnings.warn(
-        "apply_matmul_precision is a no-op: matmul precision is threaded "
-        "per-call through the model (PoseNet.matmul_precision)",
-        DeprecationWarning,
-        stacklevel=2,
-    )
+# (The round-3 ``apply_matmul_precision`` process-global helper is gone:
+# cfg.model.matmul_precision is threaded per-call through the model —
+# build_pose_net -> PoseNet.matmul_precision -> every conv/einsum — so
+# configs cannot leak precision into each other through process state.)

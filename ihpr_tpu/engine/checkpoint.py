@@ -42,7 +42,7 @@ class CheckpointManager:
     def _path(self, epoch: int) -> str:
         return os.path.join(self.dump_dir, f"snapshot_{epoch}")
 
-    def save(self, epoch: int, state: Any, rng: jax.Array):
+    def save(self, epoch: int, state: Any, rng: jax.Array, itr: int = -1):
         """Asynchronous: serialization happens in the background (a full
         snapshot takes ~70s of host IO on a 1-core host — blocking per epoch
         would dwarf the step time). The previous save is drained first;
@@ -58,7 +58,13 @@ class CheckpointManager:
         corruption impossible; the host-side ``_prune`` stays
         process-0-gated. Resume under --multihost expects ``output_dir``
         on a filesystem all hosts can read (every process restores from
-        the same path)."""
+        the same path).
+
+        ``itr``: last COMPLETED iteration within ``epoch`` for a mid-epoch
+        snapshot (the step-granular RSS watchdog's self-preempt); -1 (the
+        default) means the epoch finished. Resume skips the first itr+1
+        batches of that epoch's deterministic stream, so the continued run
+        is bit-identical either way."""
         self._ckpt.wait_until_finished()  # at most one save in flight
         # Prune BEFORE starting the new async write, and only down to
         # ``keep`` — never keep-1: that would leave a window with zero
@@ -70,6 +76,7 @@ class CheckpointManager:
             "state": jax.device_get(state),
             "rng": np.asarray(jax.random.key_data(rng)),
             "epoch": np.asarray(epoch, np.int32),
+            "itr": np.asarray(itr, np.int32),
         }
         self._ckpt.save(self._path(epoch), payload, force=True)
 
@@ -93,18 +100,28 @@ class CheckpointManager:
         epochs = self._epochs_on_disk()
         return epochs[-1] if epochs else None
 
-    def load(self, epoch: int, template: Any, rng_template: jax.Array) -> Tuple[Any, jax.Array, int]:
+    def load(
+        self, epoch: int, template: Any, rng_template: jax.Array
+    ) -> Tuple[Any, jax.Array, int, int]:
+        """-> (state, rng, epoch, itr). itr = -1 for an end-of-epoch
+        snapshot (including every pre-round-5 snapshot, which carried no
+        itr field — restored via the legacy template)."""
         self._ckpt.wait_until_finished()
-        payload = self._ckpt.restore(
-            self._path(epoch),
-            {
-                "state": jax.device_get(template),
-                "rng": np.asarray(jax.random.key_data(rng_template)),
-                "epoch": np.asarray(0, np.int32),
-            },
-        )
+        base = {
+            "state": jax.device_get(template),
+            "rng": np.asarray(jax.random.key_data(rng_template)),
+            "epoch": np.asarray(0, np.int32),
+        }
+        try:
+            payload = self._ckpt.restore(
+                self._path(epoch), base | {"itr": np.asarray(-1, np.int32)}
+            )
+            itr = int(payload["itr"])
+        except (ValueError, KeyError):
+            payload = self._ckpt.restore(self._path(epoch), base)
+            itr = -1
         rng = jax.random.wrap_key_data(payload["rng"])
-        return payload["state"], rng, int(payload["epoch"])
+        return payload["state"], rng, int(payload["epoch"]), itr
 
     def load_latest(self, template: Any, rng_template: jax.Array):
         """Reference ``--continue``: resume from the highest snapshot."""

@@ -311,5 +311,5 @@ def load_server(
     template, _ = create_train_state(model, cfg, jax.random.key(0), 1)
     ckpt = CheckpointManager(snapshot_dir or cfg.output_dir)
     e = epoch if epoch is not None else ckpt.latest_epoch()
-    state, _, _ = ckpt.load(e, template, jax.random.key(0))
+    state, _, _, _ = ckpt.load(e, template, jax.random.key(0))
     return PoseServer(cfg, state.params, state.batch_stats, **kw)

@@ -136,7 +136,7 @@ class Tester:
                 raise FileNotFoundError(
                     f"no snapshot in {cfg.output_dir}/model_dump; train first"
                 )
-            state, _, _ = ckpt.load(epoch, template, jax.random.key(0))
+            state, _, _, _ = ckpt.load(epoch, template, jax.random.key(0))
             self.logger.info(f"loaded snapshot_{epoch}")
         self.state = state
         self.eval_step = make_eval_step(self.model, cfg, self.mesh)

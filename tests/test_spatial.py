@@ -254,7 +254,7 @@ def test_zero_sharded_checkpoint_roundtrip(tiny_cfg, tiny_data, tmp_path):
     ckpt = CheckpointManager(str(tmp_path))
     ckpt.save(0, state, jax.random.key(1))
     template, _ = create_train_state(model, cfg, jax.random.key(9), 10, mesh=mesh)
-    restored, _, epoch = ckpt.load_latest(template, jax.random.key(9))
+    restored, _, epoch, _ = ckpt.load_latest(template, jax.random.key(9))
     assert epoch == 0
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -295,3 +295,71 @@ def test_trainer_zero_wiring(tiny_cfg, tiny_data, tmp_path):
         and not x.sharding.is_fully_replicated
     ]
     assert sharded, "trained state lost the ZeRO layout"
+
+
+@pytest.mark.parametrize("shard_opt", [False, True])
+def test_checkpoint_topology_change_resume(tiny_cfg, tiny_data, tmp_path, shard_opt):
+    """Resume a dp8 snapshot on a DIFFERENT device count (dp4 and dp1, plus
+    dp1 -> dp8) — the first thing that happens when a pod shrinks or a run
+    moves hosts (VERDICT r4 Missing #5). Checkpoints hold full host arrays
+    (ckpt.save device_gets), so the restored tree is layout-free; the new
+    topology's jitted step must re-lay it out — including the
+    device-count-DEPENDENT ZeRO moment shards when shard_opt_state=True —
+    and continue with the same global-batch math: the post-resume step on
+    dp4/dp1 must match the uninterrupted dp8 run."""
+    from ihpr_tpu.engine.checkpoint import CheckpointManager
+    from ihpr_tpu.models.pose_net import build_pose_net
+
+    assert jax.device_count() >= 8
+    cfg = tiny_cfg.replace(
+        parallel=dataclasses.replace(tiny_cfg.parallel, shard_opt_state=shard_opt)
+    )
+    model = build_pose_net(cfg)
+    loader = BatchLoader([tiny_data], cfg, 8, train=True, num_workers=0)
+    hb0, hb1 = list(loader.epoch(0))[:2]
+
+    def one_step(mesh, state, hb):
+        _, tx = create_train_state(model, cfg, jax.random.key(0), 10)
+        step = make_train_step(model, tx, cfg, mesh, donate=False)
+        batch, _ = next(iter(prefetch_to_device(iter([hb]), batch_sharding(mesh))))
+        new_state, metrics = step(state, batch, jax.random.key(2))
+        return new_state, float(metrics["loss"])
+
+    # dp8: one step, snapshot (async save drained by latest_epoch inside load)
+    mesh8 = make_mesh(8)
+    state8, _ = create_train_state(model, cfg, jax.random.key(0), 10, mesh=mesh8)
+    state8, _ = one_step(mesh8, state8, hb0)
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save(0, state8, jax.random.key(1))
+    # uninterrupted continuation on dp8 = the truth
+    _, loss_ref = one_step(mesh8, state8, hb1)
+
+    for n in (4, 1):
+        mesh_n = make_mesh(n)
+        template, _ = create_train_state(model, cfg, jax.random.key(9), 10, mesh=mesh_n)
+        restored, _, epoch, itr = ckpt.load(0, template, jax.random.key(9))
+        assert (epoch, itr) == (0, -1)
+        new_state, loss_n = one_step(mesh_n, restored, hb1)
+        np.testing.assert_allclose(loss_n, loss_ref, rtol=1e-5, err_msg=f"dp{n}")
+        if shard_opt and n > 1:
+            sharded = [
+                x for x in jax.tree.leaves(new_state.opt_state)
+                if hasattr(x, "sharding") and x.size >= 1024
+                and not x.sharding.is_fully_replicated
+            ]
+            assert sharded, f"dp{n} post-resume step lost the ZeRO layout"
+
+    # reverse direction: a dp1 snapshot restored + continued on dp8. The
+    # reference is the dp1 run's OWN continuation (state1 != state8 by BN
+    # reduction-order noise, so state8's continuation is a different
+    # trajectory — only the same-snapshot comparison is meaningful).
+    mesh1 = make_mesh(1)
+    state1, _ = create_train_state(model, cfg, jax.random.key(0), 10, mesh=mesh1)
+    state1, _ = one_step(mesh1, state1, hb0)
+    _, loss_ref1 = one_step(mesh1, state1, hb1)
+    ckpt2 = CheckpointManager(str(tmp_path / "up"))
+    ckpt2.save(0, state1, jax.random.key(1))
+    template, _ = create_train_state(model, cfg, jax.random.key(9), 10, mesh=mesh8)
+    restored, _, _, _ = ckpt2.load(0, template, jax.random.key(9))
+    _, loss_up = one_step(mesh8, restored, hb1)
+    np.testing.assert_allclose(loss_up, loss_ref1, rtol=1e-5, err_msg="dp1->dp8")

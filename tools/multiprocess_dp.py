@@ -278,7 +278,8 @@ def build_ckpt_phase(n_global_devices: int) -> int:
     ckpt = CheckpointManager(ckpt_dir, keep=2)
     ckpt.save(3, state, jax.random.key(5))
     ckpt.wait()
-    restored, _, epoch = ckpt.load(3, state, jax.random.key(0))
+    restored, _, epoch, itr = ckpt.load(3, state, jax.random.key(0))
+    assert itr == -1, itr
     assert epoch == 3, epoch
     a = np.concatenate(
         [np.ravel(x) for x in jax.tree.leaves(jax.device_get(state.params))]
@@ -290,15 +291,17 @@ def build_ckpt_phase(n_global_devices: int) -> int:
     return epoch
 
 
-def build_watchdog_phase(n_global_devices: int) -> int:
+def build_watchdog_phase(n_global_devices: int):
     """Host-RSS watchdog under multi-process: the trip must be a
     COLLECTIVE decision (trainer.py gathers every process's local
-    rss-vs-limit vote at each epoch boundary). Worker 0 runs with a 1 MB
-    limit (any real process is over it); worker 1 runs with its watchdog
-    DISABLED — without the collective vote, worker 0 would snapshot
-    (ckpt.save opens a cross-process orbax barrier) and exit alone,
-    deadlocking worker 1 at the next collective. PASS = BOTH workers
-    leave the epoch loop with EX_TEMPFAIL after epoch 0 of 2."""
+    rss-vs-limit vote every rss_check_interval_steps steps AND at epoch
+    boundaries). Worker 0 runs with a 1 MB limit (any real process is
+    over it); worker 1 runs with its watchdog DISABLED — without the
+    collective vote, worker 0 would snapshot (ckpt.save opens a
+    cross-process orbax barrier) and exit alone, deadlocking worker 1 at
+    the next collective. With interval=1 the trip fires MID-epoch (itr 0
+    of 2-step epoch 0 — the step-granular path, round 5). PASS = BOTH
+    workers exit EX_TEMPFAIL and the snapshot records itr=0."""
     import shutil
 
     import jax
@@ -335,12 +338,17 @@ def build_watchdog_phase(n_global_devices: int) -> int:
         True,
     )
     limit = 1.0 if jax.process_index() == 0 else 0
-    tr = Trainer(cfg, datasets=[ds], num_workers=0, rss_limit_mb=limit)
+    tr = Trainer(
+        cfg, datasets=[ds], num_workers=0, rss_limit_mb=limit,
+        rss_check_interval_steps=1,
+    )
     try:
         tr.train(end_epoch=2)
     except SystemExit as e:
-        return int(e.code)
-    return -1
+        tr.ckpt.wait()
+        _, _, epoch, itr = tr.ckpt.load(0, tr.state, jax.random.key(0))
+        return int(e.code), epoch, itr
+    return -1, -1, -99
 
 
 def worker(pid: int):
@@ -375,8 +383,8 @@ def worker(pid: int):
     preds_sp = build_and_eval(NPROC * LOCAL_DEVICES, spatial=2)
     np.save(f"/tmp/mp_eval_preds_sp_{pid}.npy", preds_sp)
     print(f"WORKER {pid} spatial_eval_done shape={preds_sp.shape}", flush=True)
-    rc = build_watchdog_phase(NPROC * LOCAL_DEVICES)
-    print(f"WORKER {pid} watchdog_rc={rc}", flush=True)
+    rc, wd_epoch, wd_itr = build_watchdog_phase(NPROC * LOCAL_DEVICES)
+    print(f"WORKER {pid} watchdog_rc={rc} epoch={wd_epoch} itr={wd_itr}", flush=True)
     fv, fg = build_fused_phase(NPROC * LOCAL_DEVICES)
     print(f"WORKER {pid} fused_loss={fv:.8f} fused_gsum={fg:.6f}", flush=True)
 
@@ -477,14 +485,17 @@ def main():
     from ihpr_tpu.utils.hostmem import EX_TEMPFAIL
 
     for p, out in zip(procs, outs):
-        m = re.search(r"watchdog_rc=(-?\d+)", out)
+        m = re.search(r"watchdog_rc=(-?\d+) epoch=(-?\d+) itr=(-?\d+)", out)
         assert m, f"worker {p} skipped the watchdog phase"
         assert int(m.group(1)) == EX_TEMPFAIL, (
             f"worker {p} watchdog rc={m.group(1)} != {EX_TEMPFAIL}"
         )
+        assert (int(m.group(2)), int(m.group(3))) == (0, 0), (
+            f"worker {p} watchdog snapshot is not the MID-epoch one: {m.groups()}"
+        )
     print(
-        "multiprocess_dp: PASS (2-process RSS watchdog: collective trip, "
-        "both workers EX_TEMPFAIL)"
+        "multiprocess_dp: PASS (2-process RSS watchdog: collective MID-epoch "
+        "trip at itr 0, both workers EX_TEMPFAIL)"
     )
 
     # Fused-kernel shard_map phase: the dp launch (interpret-mode pallas,

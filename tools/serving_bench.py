@@ -208,7 +208,37 @@ def main():
             f"sustained via exported artifact (plain-XLA composition): "
             f"{artifact_row:.1f} img/s (live fused path: {sustained:.1f})"
         )
+
+        # --- 3c. CHIP-SIDE chained artifact (transport-independent) ------
+        # VERDICT r4 Weak #3: the 3b figure conflates the plain-composition
+        # + no-donation cost with tunnel transport. Same chained-dispatch
+        # methodology as 2b (device-resident patches, data dependence on
+        # the previous coords, ONE final pull) applied to the DESERIALIZED
+        # artifact, so (2b vs 3c) prices the composition alone and
+        # (3c vs 3b) prices the transport alone.
+        @jax.jit
+        def chained_art(patch_u8, ones, prev):
+            eps = jnp.sum(prev[:1, :1, :1]) * 0.0
+            return fn(patch_u8, ones + eps)
+
+        prev_a = chained_art(
+            dev_patches, dev_ones,
+            jnp.zeros((max_batch, skel.joint_num, 3), np.float32),
+        )
+        _ = np.asarray(prev_a)  # compile + settle
+        t0 = time.perf_counter()
+        for _ in range(chain_iters):
+            prev_a = chained_art(dev_patches, dev_ones, prev_a)
+        _ = float(prev_a.sum())  # ONE pull forces the chain
+        dt = time.perf_counter() - t0
+        artifact_chip = chain_iters * max_batch / dt
+        print(
+            f"chip-side sustained via exported artifact (chained, "
+            f"device-resident): {artifact_chip:.1f} img/s "
+            f"(live fused chip-side: {chip_side:.1f})"
+        )
     except Exception as e:  # keep the queue going; artifact is optional
+        artifact_chip = None
         print(f"artifact phase FAILED: {type(e).__name__}: {e}")
 
     # --- 4. pipelined full-path requests (PoseServer.predict_stream) -----
@@ -239,6 +269,9 @@ def main():
         ),
         "sustained_artifact_img_per_s": (
             None if artifact_row is None else round(artifact_row, 1)
+        ),
+        "chip_side_artifact_img_per_s": (
+            None if artifact_chip is None else round(artifact_chip, 1)
         ),
         "max_batch": max_batch,
         "flip_test": True,

@@ -59,6 +59,12 @@ def main():
         "EX_TEMPFAIL(75) for a --continue relaunch "
         "(tools/train_supervised.sh automates the loop)",
     )
+    ap.add_argument(
+        "--rss_check_steps", type=int, default=100,
+        help="run the RSS watchdog vote every N steps (mid-epoch snapshot "
+        "+ EX_TEMPFAIL on trip; resume replays the epoch stream and skips "
+        "the consumed batches). 0 = epoch boundaries only",
+    )
     args = ap.parse_args()
 
     if args.multihost:
@@ -99,6 +105,7 @@ def main():
         num_workers=args.num_workers,
         synthetic_size=args.synthetic_size,
         rss_limit_mb=args.rss_limit_mb,
+        rss_check_interval_steps=args.rss_check_steps,
     )
     if args.pretrained:
         trainer.load_pretrained_backbone(args.pretrained)
