@@ -209,36 +209,70 @@ def main():
             f"{artifact_row:.1f} img/s (live fused path: {sustained:.1f})"
         )
 
-        # --- 3c. CHIP-SIDE chained artifact (transport-independent) ------
+        # --- 3c. CHIP-SIDE artifact cost (per-link-pull methodology) ------
         # VERDICT r4 Weak #3: the 3b figure conflates the plain-composition
-        # + no-donation cost with tunnel transport. Same chained-dispatch
-        # methodology as 2b (device-resident patches, data dependence on
-        # the previous coords, ONE final pull) applied to the DESERIALIZED
-        # artifact, so (2b vs 3c) prices the composition alone and
-        # (3c vs 3b) prices the transport alone.
-        @jax.jit
-        def chained_art(patch_u8, ones, prev):
+        # + no-donation cost with tunnel transport. The 2b chained harness
+        # does NOT transfer to the deserialized artifact: dispatching an
+        # outer-jit program that inlines an ``Exported.call`` with an
+        # UNSETTLED device future as an argument costs ~1 s/link on the
+        # axon tunnel regardless of donation (probe ledger, PARITY.md),
+        # while the transport-fed 3b stream bounds the true device time at
+        # <~366 ms/chunk — so a chained 3c number would be a client
+        # pathology, not compute. The strictest trustworthy timing here is
+        # a PER-LINK synchronous pull (each dispatch forced to full
+        # completion before the next). That charges one tunnel round trip
+        # per link to both sides, so run the LIVE program under the same
+        # harness and remove the common RTT using 2b's RTT-free chained
+        # figure:  exec_art ~= perlink_art - (perlink_live - chained_live).
+        def per_link_pull_ms(f, *fargs, iters=10):
+            _ = float(f(*fargs).sum())  # settle
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                _ = float(f(*fargs).sum())
+            return (time.perf_counter() - t0) / iters * 1e3
+
+        live_jit = jax.jit(server._forward)
+        perlink_art = per_link_pull_ms(fn, dev_patches, dev_ones)
+        perlink_live = per_link_pull_ms(
+            live_jit, server.params, server.batch_stats, dev_patches, dev_ones
+        )
+        chained_live_ms = 1e3 * max_batch / chip_side  # from 2b
+        rtt_ms = max(0.0, perlink_live - chained_live_ms)
+        exec_art_ms = max(chained_live_ms, perlink_art - rtt_ms)
+
+        # Corroborating chain (N=32, fresh settled start). In a healthy
+        # client state this asymptotes to the same exec number (probe4
+        # sweep: 25.7 -> 16.5 ms/link for N=3 -> 32, = exec + RTT/N); in
+        # the degraded state it reads ~1 s/link, in which case the
+        # per-link-pull figure above stands alone.
+        @jax.jit  # glue INSIDE the program: eager glue on fed-back outputs
+        def chained_art(patch_u8, ones, prev):  # is itself a pathology trigger
             eps = jnp.sum(prev[:1, :1, :1]) * 0.0
             return fn(patch_u8, ones + eps)
 
-        prev_a = chained_art(
-            dev_patches, dev_ones,
-            jnp.zeros((max_batch, skel.joint_num, 3), np.float32),
-        )
-        _ = np.asarray(prev_a)  # compile + settle
+        prev_a = fn(dev_patches, dev_ones)
+        _ = np.asarray(prev_a)
+        _ = np.asarray(chained_art(dev_patches, dev_ones, prev_a))  # compile
+        n_chain = 32
         t0 = time.perf_counter()
-        for _ in range(chain_iters):
+        for _ in range(n_chain):
             prev_a = chained_art(dev_patches, dev_ones, prev_a)
-        _ = float(prev_a.sum())  # ONE pull forces the chain
-        dt = time.perf_counter() - t0
-        artifact_chip = chain_iters * max_batch / dt
+        _ = float(prev_a.sum())
+        chain_art_ms = (time.perf_counter() - t0) / n_chain * 1e3
+        if chain_art_ms < perlink_art:  # healthy: prefer the chained figure
+            exec_art_ms = chain_art_ms - rtt_ms / n_chain
+        artifact_chip = 1e3 * max_batch / exec_art_ms
         print(
-            f"chip-side sustained via exported artifact (chained, "
-            f"device-resident): {artifact_chip:.1f} img/s "
+            f"chip-side artifact: per-link pull {perlink_art:.1f} ms raw, "
+            f"live same-harness {perlink_live:.1f} ms "
+            f"(chained {chained_live_ms:.1f} => tunnel RTT ~{rtt_ms:.1f}); "
+            f"chained x{n_chain} {chain_art_ms:.1f} ms/link; "
+            f"artifact exec {exec_art_ms:.1f} ms = {artifact_chip:.1f} img/s "
             f"(live fused chip-side: {chip_side:.1f})"
         )
     except Exception as e:  # keep the queue going; artifact is optional
         artifact_chip = None
+        perlink_art = perlink_live = None
         print(f"artifact phase FAILED: {type(e).__name__}: {e}")
 
     # --- 4. pipelined full-path requests (PoseServer.predict_stream) -----
@@ -272,6 +306,12 @@ def main():
         ),
         "chip_side_artifact_img_per_s": (
             None if artifact_chip is None else round(artifact_chip, 1)
+        ),
+        "artifact_per_link_pull_ms": (
+            None if perlink_art is None else round(perlink_art, 1)
+        ),
+        "live_per_link_pull_ms": (
+            None if perlink_live is None else round(perlink_live, 1)
         ),
         "max_batch": max_batch,
         "flip_test": True,
