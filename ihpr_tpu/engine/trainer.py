@@ -246,10 +246,17 @@ class Trainer:
         log_every = 50
         import time as _time
 
+        self._tracing = False
         try:
             self._epoch_loop(end_epoch, profile_dir, profile_steps, sharding,
                              global_batch, n_dev, log_every, _time)
         finally:
+            if self._tracing:
+                # Close a profile window left open by an abnormal exit
+                # inside [start, stop) — e.g. an RSS preempt — so the trace
+                # on disk is usable and a resumed train() starts clean.
+                jax.profiler.stop_trace()
+                self._tracing = False
             # Drain the in-flight async snapshot on EVERY exit path —
             # including the SIGTERM -> SystemExit unwind installed by the
             # CLIs (utils/shutdown.py). Without this, interpreter shutdown
@@ -331,11 +338,18 @@ class Trainer:
             window_steps = 0
             for itr, (batch, _) in enumerate(it, start=start_itr):
                 if profile_dir and epoch == self.start_epoch:
+                    # _tracing guards both edges: a mid-epoch resume can
+                    # land INSIDE [start, stop) (skipping the start itr —
+                    # stop_trace without a start raises), and a preempt
+                    # inside the window must not leave the trace open
+                    # (closed in train()'s finally).
                     if itr == profile_steps[0]:
                         jax.profiler.start_trace(profile_dir)
-                    elif itr == profile_steps[1]:
+                        self._tracing = True
+                    elif itr == profile_steps[1] and self._tracing:
                         jax.block_until_ready(self.state.params)
                         jax.profiler.stop_trace()
+                        self._tracing = False
                         self.logger.info(f"profile written to {profile_dir}")
                 # cap_steps_per_epoch(n) shortens the epoch to max_steps, so
                 # the closing log line must key off the effective epoch length.

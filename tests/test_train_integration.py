@@ -442,3 +442,51 @@ def test_checkpoint_legacy_snapshot_without_itr_field(tiny_cfg, tiny_data, tmp_p
     a = np.concatenate([np.ravel(x) for x in jax.tree.leaves(jax.device_get(state.params))])
     b = np.concatenate([np.ravel(x) for x in jax.tree.leaves(st["params"] if isinstance(st, dict) else st.params)])
     np.testing.assert_array_equal(a, b)
+
+
+def test_profiler_window_survives_mid_epoch_preempt_and_resume(
+    tiny_cfg, tiny_data, tmp_path
+):
+    """Two profiler/preempt edges: (a) an RSS preempt INSIDE the profile
+    window [start, stop) must close the trace (train()'s finally) rather
+    than leave it open across the process exit; (b) a mid-epoch resume
+    landing inside the window skips the start itr, so the stop itr must
+    not call stop_trace without a start (it raises)."""
+    import dataclasses
+
+    from ihpr_tpu.engine.trainer import Trainer
+    from ihpr_tpu.utils.hostmem import EX_TEMPFAIL
+
+    cfg = tiny_cfg.replace(
+        output_dir=str(tmp_path / "run"),
+        optim=dataclasses.replace(
+            tiny_cfg.optim, end_epoch=2, snapshot_interval=10
+        ),
+    )
+    # 16 samples / global batch 8 = 2 steps/epoch; trip at itr 0 with the
+    # trace started at itr 0 (profile_steps=(0, 1)).
+    tr = Trainer(
+        cfg, datasets=[tiny_data], num_workers=0,
+        rss_limit_mb=1.0, rss_check_interval_steps=1,
+    )
+    with pytest.raises(SystemExit) as exc:
+        tr.train(
+            end_epoch=2,
+            profile_dir=str(tmp_path / "prof"),
+            profile_steps=(0, 1),
+        )
+    assert exc.value.code == EX_TEMPFAIL
+    assert tr._tracing is False, "preempt inside the window left the trace open"
+
+    # --continue resumes at itr 1 == stop itr, with no start this run.
+    tr2 = Trainer(
+        cfg, datasets=[tiny_data], num_workers=0,
+        continue_train=True, rss_limit_mb=0,
+    )
+    assert (tr2.start_epoch, tr2.resume_skip) == (0, 1)
+    tr2.train(
+        end_epoch=2,
+        profile_dir=str(tmp_path / "prof2"),
+        profile_steps=(0, 1),
+    )
+    assert tr2._tracing is False
