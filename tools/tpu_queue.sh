@@ -1,7 +1,8 @@
 #!/bin/sh
-# Real-TPU check queue (round 4). Everything in the round-3 queue ran
-# and is reconciled in PARITY.md; what remains useful to (re)run after a
-# relay outage or before handing the chip back is the HEAD health set:
+# Real-TPU HEAD health queue. Every round-specific queue item through
+# round 5 ran and is reconciled in PARITY.md; what remains useful to
+# (re)run after a relay outage or before handing the chip back is this
+# standing health set:
 #     PYTHONUNBUFFERED=1 sh tools/tpu_queue.sh > /tmp/tpu_queue.log 2>&1 &
 # Each item is bounded and logs separately; a failure does not stop the
 # queue (every tool traps its own exceptions so the TPU client exits
